@@ -1,0 +1,152 @@
+"""Numeric tests for tpu_rvc.nn modules, with torch oracles for the
+attention rel/abs shuffles and module-level shape/finite checks."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from tpu_rvc.nn.attention import (
+    relative_to_absolute,
+    absolute_to_relative,
+    window_relative_embeddings,
+    MultiHeadRelAttention,
+    Encoder,
+)
+from tpu_rvc.nn.modules import WN, ResBlock1, LayerNorm1d
+from tpu_rvc.nn.encoders import TextEncoder, PosteriorEncoder
+from tpu_rvc.nn.flows import ResidualCouplingBlock
+from tpu_rvc.nn.generators import f0_to_sine_phases, NSFGenerator
+
+
+def torch_rel_to_abs(x):
+    batch, heads, length, _ = x.size()
+    x = F.pad(x, [0, 1, 0, 0, 0, 0, 0, 0])
+    x_flat = x.view([batch, heads, length * 2 * length])
+    x_flat = F.pad(x_flat, [0, length - 1, 0, 0, 0, 0])
+    return x_flat.view([batch, heads, length + 1, 2 * length - 1])[
+        :, :, :length, length - 1:]
+
+
+def torch_abs_to_rel(x):
+    batch, heads, length, _ = x.size()
+    x = F.pad(x, [0, length - 1, 0, 0, 0, 0, 0, 0])
+    x_flat = x.view([batch, heads, length**2 + length * (length - 1)])
+    x_flat = F.pad(x_flat, [length, 0, 0, 0, 0, 0])
+    return x_flat.view([batch, heads, length, 2 * length])[:, :, :, 1:]
+
+
+def test_rel_abs_shuffles_match_torch(rng):
+    B, H, L = 2, 2, 13
+    x = rng.standard_normal((B, H, L, 2 * L - 1)).astype(np.float32)
+    ref = torch_rel_to_abs(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(relative_to_absolute(jnp.asarray(x))),
+                               ref.numpy(), atol=1e-6)
+    y = rng.standard_normal((B, H, L, L)).astype(np.float32)
+    ref2 = torch_abs_to_rel(torch.from_numpy(y))
+    np.testing.assert_allclose(np.asarray(absolute_to_relative(jnp.asarray(y))),
+                               ref2.numpy(), atol=1e-6)
+
+
+def test_window_relative_embeddings_long_and_short(rng):
+    w = 10
+    emb = rng.standard_normal((1, 2 * w + 1, 8)).astype(np.float32)
+    # long sequence: pads
+    out = window_relative_embeddings(jnp.asarray(emb), 50, w)
+    assert out.shape == (1, 99, 8)
+    # center of window lands at relative position 0
+    np.testing.assert_allclose(np.asarray(out)[0, 49], emb[0, w])
+    # short sequence: slices
+    out2 = window_relative_embeddings(jnp.asarray(emb), 5, w)
+    assert out2.shape == (1, 9, 8)
+    np.testing.assert_allclose(np.asarray(out2)[0, 4], emb[0, w])
+
+
+def test_attention_softmax_rows_and_mask(rng):
+    B, T, C = 1, 24, 64
+    m = MultiHeadRelAttention(C, C, 2, 10)
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    mask = np.ones((B, 1, T, T), np.float32)
+    mask[:, :, :, 16:] = 0  # mask out tail keys
+    params = m.init(jax.random.PRNGKey(0), x, jnp.asarray(mask))
+    y = m.apply(params, x, jnp.asarray(mask))
+    assert y.shape == (B, T, C)
+    assert np.isfinite(np.asarray(y)).all()
+    # changing masked-out keys must not change output (beyond -1e4 leakage)
+    x2 = np.asarray(x).copy()
+    x2[:, 16:, :] += 100.0
+    y2 = m.apply(params, jnp.asarray(x2), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(y[:, :10]), np.asarray(y2[:, :10]),
+                               atol=2e-2)
+
+
+def test_wn_shapes_and_mask(rng):
+    B, T, H = 2, 32, 16
+    wn = WN(H, 5, 1, 4, gin_channels=8)
+    x = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((B, 1, 8)).astype(np.float32))
+    mask = np.ones((B, T, 1), np.float32)
+    mask[:, 28:] = 0
+    params = wn.init(jax.random.PRNGKey(0), x, jnp.asarray(mask), g)
+    y = wn.apply(params, x, jnp.asarray(mask), g)
+    assert y.shape == (B, T, H)
+    assert np.abs(np.asarray(y)[:, 28:]).max() == 0  # masked out
+
+
+def test_flow_roundtrip(rng):
+    """reverse(forward(z)) == z — the core flow invariant."""
+    B, T, C = 2, 40, 192
+    flow = ResidualCouplingBlock(C, 192, 5, 1, 3, gin_channels=256)
+    z = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((B, 1, 256)).astype(np.float32))
+    mask = jnp.ones((B, T, 1), jnp.float32)
+    params = flow.init(jax.random.PRNGKey(0), z, mask, g)
+    z_p = flow.apply(params, z, mask, g)
+    z_rec = flow.apply(params, z_p, mask, g, reverse=True)
+    np.testing.assert_allclose(np.asarray(z_rec), np.asarray(z),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_f0_to_sine_phase_continuity():
+    """Phase must be continuous across frame boundaries (no clicks)."""
+    sr, upp = 40000, 400
+    f0 = np.full((1, 10), 220.0, np.float32)
+    ph = np.asarray(f0_to_sine_phases(jnp.asarray(f0), upp, sr, 1, None))[0, :, 0]
+    # constant f0 -> phase increments constant everywhere incl. frame joins
+    d = np.diff(ph)
+    d = np.mod(d + 0.5, 1.0) - 0.5  # unwrap
+    np.testing.assert_allclose(d, 220.0 / sr, atol=1e-4)
+
+
+def test_f0_to_sine_matches_torch_reference_formula():
+    """Against the reference _f02sine recurrence computed in numpy."""
+    sr, upp = 16000, 160
+    rng = np.random.default_rng(0)
+    f0 = (rng.uniform(80, 400, (1, 8))).astype(np.float32)
+    # numpy oracle of generators.py:148-158 (harmonic dim = 1, no rand_ini)
+    a = np.arange(1, upp + 1, dtype=np.float64)
+    rad = f0[:, :, None] / sr * a  # (1, L, upp)
+    rad2 = np.mod(rad[:, :-1, -1] + 0.5, 1.0) - 0.5
+    rad_acc = np.mod(np.cumsum(rad2, axis=1), 1.0)
+    rad += np.pad(rad_acc, ((0, 0), (1, 0)))[:, :, None]
+    oracle = np.sin(2 * np.pi * rad.reshape(1, -1))
+    ph = np.asarray(f0_to_sine_phases(jnp.asarray(f0), upp, sr, 1, None))
+    ours = np.sin(2 * np.pi * ph[0, :, 0])
+    np.testing.assert_allclose(ours, oracle[0], atol=1e-3)
+
+
+def test_text_encoder_skip_head(rng):
+    B, T, D = 1, 32, 256
+    enc = TextEncoder(192, 192, 768, 2, 2, 3, 0.0, f0=True)
+    phone = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    pitch = jnp.asarray(rng.integers(1, 255, (B, T)).astype(np.int32))
+    lengths = jnp.asarray([T])
+    params = enc.init(jax.random.PRNGKey(0), phone, pitch, lengths)
+    m, logs, mask = enc.apply(params, phone, pitch, lengths)
+    m2, logs2, mask2 = enc.apply(params, phone, pitch, lengths, skip_head=8)
+    assert m2.shape == (B, T - 8, 192)
+    np.testing.assert_allclose(np.asarray(m[:, 8:]), np.asarray(m2),
+                               rtol=1e-4, atol=1e-5)

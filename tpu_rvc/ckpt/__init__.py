@@ -1,0 +1,9 @@
+from .torch_pth import load_pth, save_pth
+from .convert import synthesizer_params_from_state_dict, state_dict_from_synthesizer_params
+
+__all__ = [
+    "load_pth",
+    "save_pth",
+    "synthesizer_params_from_state_dict",
+    "state_dict_from_synthesizer_params",
+]

@@ -1,0 +1,115 @@
+"""1-D convolution primitives, channel-last, with torch-compatible semantics.
+
+Everything here operates on (B, T, C) tensors — channel-last keeps C on the
+TPU lane dimension so XLA tiles the contractions onto the MXU without
+relayouts.  Weight layout is (K, C_in, C_out) throughout; `ckpt/convert.py`
+maps torch's layouts onto these.
+
+Semantics matched against torch (validated in tests/test_ops.py):
+  conv1d            <-> torch.nn.functional.conv1d (explicit padding, dilation)
+  conv_transpose1d  <-> torch.nn.functional.conv_transpose1d
+                        (the reference's upsamplers: rvc/layers/generators.py:38,
+                        rvc/layers/nsf.py:94)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = ("NHC", "HIO", "NHC")  # batch-time-channel / k-in-out
+
+
+def conv1d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    *,
+    stride: int = 1,
+    padding: Union[int, Tuple[int, int], str] = 0,
+    dilation: int = 1,
+    groups: int = 1,
+    precision=None,
+) -> jax.Array:
+    """Channel-last conv1d.  x: (B, T, Cin), w: (K, Cin/groups, Cout)."""
+    if isinstance(padding, str):
+        pad = padding  # "SAME" / "VALID"
+    elif isinstance(padding, int):
+        pad = [(padding, padding)]
+    else:
+        pad = [tuple(padding)]
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=pad,
+        rhs_dilation=(dilation,),
+        dimension_numbers=_DN,
+        feature_group_count=groups,
+        precision=precision,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv_transpose1d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    precision=None,
+) -> jax.Array:
+    """torch-equivalent ConvTranspose1d, channel-last.
+
+    x: (B, T, Cin); w: (K, Cin, Cout) stored so that
+    ``w[k, i, o] == torch_weight[i, o, K - 1 - k]`` (the converter flips K and
+    moves torch's (Cin, Cout, K) layout here).  Output length is
+    (T - 1) * stride - 2 * padding + K, identical to torch.
+
+    Implementation: transposed conv == input-dilated regular conv with the
+    kernel flipped, with per-side padding K - 1 - padding.
+    """
+    k = w.shape[0]
+    pad = k - 1 - padding
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=_DN,
+        precision=precision,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def pad_reflect(x: jax.Array, pad_left: int, pad_right: int, axis: int = -1) -> jax.Array:
+    """Reflect padding along one axis (torch F.pad mode='reflect')."""
+    if pad_left == 0 and pad_right == 0:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (pad_left, pad_right)
+    return jnp.pad(x, pads, mode="reflect")
+
+
+def fold_weight_norm(g: jax.Array, v: jax.Array, axis_keep: int = -1) -> jax.Array:
+    """Fold a weight-norm (g, v) parametrization into a dense weight.
+
+    torch weight_norm on Conv1d keeps norms over all dims except dim 0
+    (C_out).  In our (K, Cin, Cout) layout C_out is the last axis, so the
+    norm reduces over (K, Cin).  Weight-norm exists only in reference
+    training checkpoints (rvc/layers/norms.py:54-83); at load time we fold it
+    so inference graphs see plain weights.
+    """
+    axes = tuple(i for i in range(v.ndim) if i != (axis_keep % v.ndim))
+    norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
+    return g * v / norm
