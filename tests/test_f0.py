@@ -1,0 +1,151 @@
+"""f0 stack tests: estimators on synthetic tones, post-process parity with
+the reference numba kernel's math, and RMVPE model parity vs the reference
+torch implementation (random-init, eval mode)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_rvc.f0.base import interpolate_f0, resize_f0, post_process, coarse_f0
+from tpu_rvc.f0.pm import PM
+from tpu_rvc.f0.dio import Dio
+from tpu_rvc.f0.harvest import Harvest
+from tpu_rvc.f0.gen import Generator
+
+
+def tone(f0_hz, sr=16000, dur=1.0, amp=0.5):
+    t = np.arange(int(sr * dur)) / sr
+    return (amp * np.sin(2 * np.pi * f0_hz * t)).astype(np.float32)
+
+
+def test_interpolate_f0_gap_fill():
+    f0 = np.array([0, 0, 100, 0, 0, 0, 200, 0, 0], np.float32)
+    out, uv = interpolate_f0(f0)
+    assert out[0] == out[1] == 100          # leading edge-hold
+    np.testing.assert_allclose(out[2:7], [100, 125, 150, 175, 200])
+    assert out[7] == out[8] == 200          # trailing edge-hold
+    np.testing.assert_array_equal(uv, f0 > 0)
+
+
+def test_resize_f0_matches_reference_formula():
+    x = np.array([100.0, 0.0, 200.0, 300.0], np.float32)
+    # oracle: reference f0.py:69
+    source = x.copy().astype(np.float64)
+    source[source < 0.001] = np.nan
+    target = np.interp(
+        np.arange(0, len(source) * 7, len(source)) / 7,
+        np.arange(0, len(source)), source)
+    oracle = np.nan_to_num(target)
+    np.testing.assert_allclose(resize_f0(x, 7), oracle, rtol=1e-6)
+
+
+def test_coarse_f0_range_and_monotonicity():
+    f0 = np.linspace(0, 1200, 500)
+    c = coarse_f0(f0)
+    assert c.min() >= 1 and c.max() <= 255
+    assert (np.diff(c[f0 > 50]) >= 0).all()
+    # reference formula check at a known point
+    mel = 1127 * np.log(1 + 440.0 / 700)
+    mel_min = 1127 * np.log(1 + 50.0 / 700)
+    mel_max = 1127 * np.log(1 + 1100.0 / 700)
+    expect = np.rint((mel - mel_min) * 254 / (mel_max - mel_min) + 1)
+    assert coarse_f0(np.array([440.0]))[0] == expect
+
+
+def test_post_process_transpose():
+    f0 = np.full(100, 220.0)
+    _, f0_out = post_process(100, f0, 12, 0)  # +1 octave
+    np.testing.assert_allclose(f0_out, 440.0, rtol=1e-6)
+
+
+@pytest.mark.parametrize("est_cls,tol_hz", [(PM, 3.0), (Dio, 3.0), (Harvest, 3.0)])
+@pytest.mark.parametrize("hz", [110.0, 220.0, 440.0])
+def test_estimators_recover_tone(est_cls, tol_hz, hz):
+    est = est_cls(160, 50, 1100, 16000)
+    f0 = est.compute_f0(tone(hz), p_len=100)
+    assert f0.shape == (100,)
+    mid = f0[20:80]
+    assert np.abs(np.median(mid) - hz) < tol_hz, \
+        f"{est_cls.__name__} got {np.median(mid)} for {hz}"
+
+
+def test_estimator_silence_is_unvoiced():
+    est = PM(160, 50, 1100, 16000)
+    f0 = est.compute_f0(np.zeros(16000, np.float32), p_len=100)
+    assert np.all(f0 == 0)
+
+
+def test_generator_dispatch_pm():
+    gen = Generator(window=160, sr=16000)
+    coarse, f0 = gen.calculate(tone(220.0), 100, 0, "pm", None)
+    assert coarse.shape == (100,) and f0.shape == (100,)
+    assert coarse.dtype == np.int32
+    assert 1 <= coarse.min() and coarse.max() <= 255
+    assert abs(np.median(f0[20:80]) - 220) < 3
+
+
+# ---------------------------------------------------------------------------
+# RMVPE parity vs the reference torch implementation
+# ---------------------------------------------------------------------------
+
+ref_available = True
+try:
+    sys.path.insert(0, "/root/reference")
+    import torch
+    # stub numba (absent in this env) so the reference f0 package imports;
+    # we only need its torch E2E module, not the numba kernels
+    import types
+    if "numba" not in sys.modules:
+        numba_stub = types.ModuleType("numba")
+        numba_stub.jit = lambda *a, **k: (lambda f: f)
+        sys.modules["numba"] = numba_stub
+    from rvc.f0.e2e import E2E as RefE2E
+except Exception:  # pragma: no cover
+    ref_available = False
+
+
+@pytest.mark.skipif(not ref_available, reason="reference repo not available")
+def test_rmvpe_e2e_parity():
+    torch.manual_seed(0)
+    ref = RefE2E(4, 1, (2, 2)).eval()
+    # randomize BN running stats so folding is actually exercised
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    from tpu_rvc.ckpt.rmvpe_loader import rmvpe_params_from_torch
+    from tpu_rvc.models.rmvpe import E2E
+
+    params = rmvpe_params_from_torch(sd)
+    ours = E2E()
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((1, 128, 64)).astype(np.float32)
+    with torch.no_grad():
+        o_ref = ref(torch.from_numpy(mel)).numpy()
+    o_ours = np.asarray(ours.apply({"params": params}, jnp.asarray(mel)))
+    assert o_ours.shape == o_ref.shape
+    err = np.abs(o_ours - o_ref).max()
+    assert err < 2e-4, f"RMVPE mismatch {err}"
+
+
+@pytest.mark.skipif(not ref_available, reason="reference repo not available")
+def test_rmvpe_estimator_end_to_end_tone():
+    """Full estimator path with random weights: shapes + decode mechanics."""
+    from tpu_rvc.models.rmvpe import E2E
+    from tpu_rvc.f0.rmvpe import RMVPE, rmvpe_mel
+
+    mel = rmvpe_mel(jnp.zeros((1, 16000)))
+    assert mel.shape == (1, 128, 101)  # center=True: T//hop + 1
+
+    m = E2E()
+    variables = m.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 128, 32), jnp.float32))
+    est = RMVPE(variables=variables)
+    f0 = est.compute_f0(tone(220.0), p_len=100)
+    assert f0.shape == (100,)
+    assert np.isfinite(f0).all()
