@@ -1,0 +1,207 @@
+"""End-to-end offline pipeline tests with small random-weight models,
+plus retrieval, slicer, audio io, small-model ops and hashing utilities."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_rvc.models.synthesizer import Synthesizer
+from tpu_rvc.models.hubert import Hubert
+from tpu_rvc.pipeline.vc import Pipeline, VC
+from tpu_rvc.retrieval import FeatureIndex, build_index, knn_blend
+from tpu_rvc.audio.io import load_wav, save_wav, load_audio
+from tpu_rvc.audio.slicer import Slicer, get_rms
+from tpu_rvc.audio.dsp import change_rms, highpass_filter
+
+
+SMALL_HUBERT = dict(output_layer=2, final_proj=False, embed=64, ffn_dim=128,
+                    n_heads=2, pos_conv_k=16, pos_conv_groups=2,
+                    conv_layers=((32, 10, 5), (32, 4, 4), (32, 4, 4),
+                                 (32, 2, 2), (32, 2, 2)))  # 320x downsample
+
+SMALL_SYNTH = dict(
+    spec_channels=129, segment_size=640, inter_channels=32,
+    hidden_channels=32, filter_channels=64, n_heads=2, n_layers=1,
+    kernel_size=3, p_dropout=0.0, resblock="1",
+    resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3, 5),),
+    upsample_rates=(10, 16), upsample_initial_channel=64,
+    upsample_kernel_sizes=(20, 32), spk_embed_dim=2, gin_channels=16,
+    sr=16000, encoder_dim=64, use_f0=True, weight_norm=False,
+)
+
+
+@pytest.fixture(scope="module")
+def small_pipeline():
+    hub = Hubert(**SMALL_HUBERT)
+    hub_vars = hub.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))
+    syn = Synthesizer(**SMALL_SYNTH)
+    T = 20
+    syn_vars = syn.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, T, 64)), jnp.asarray([T]), jnp.asarray([0]),
+        jnp.zeros((1, T), jnp.int32), jnp.zeros((1, T)),
+        method=Synthesizer.infer)
+    return Pipeline(16000, hubert=hub, hubert_vars=hub_vars, synth=syn,
+                    synth_vars=syn_vars, version="v2", x_pad=0.5,
+                    x_query=2.0, x_center=5.0, x_max=6.0)
+
+
+def tone(hz=220.0, sr=16000, dur=2.0):
+    t = np.arange(int(sr * dur)) / sr
+    return (0.5 * np.sin(2 * np.pi * hz * t)).astype(np.float32)
+
+
+def test_pipeline_end_to_end(small_pipeline):
+    times = [0.0, 0.0, 0.0]
+    out = small_pipeline.pipeline(
+        0, tone(), times, 0, "pm", None, 0.0, 1, 3, 0, 0.25, 0.33)
+    assert out.dtype == np.int16
+    # output is tgt_sr/16k times the input length, minus nothing (same sr)
+    assert abs(len(out) - 32000) < 1600
+    assert times[2] > 0  # infer time accounted
+
+
+def test_pipeline_long_audio_chunks(small_pipeline):
+    """Audio over x_max seconds goes through the silence-split path."""
+    audio = tone(dur=7.0)
+    audio[3 * 16000: 3 * 16000 + 800] = 0  # a quiet notch for the splitter
+    times = [0.0, 0.0, 0.0]
+    out = small_pipeline.pipeline(
+        0, audio, times, 0, "pm", None, 0.0, 1, 3, 0, 1.0, 0.5)
+    assert abs(len(out) - 7 * 16000) < 3200
+
+
+def test_pipeline_with_retrieval(small_pipeline, rng):
+    idx = build_index(rng.standard_normal((100, 64)).astype(np.float32))
+    times = [0.0, 0.0, 0.0]
+    out = small_pipeline.pipeline(
+        0, tone(), times, 0, "pm", idx, 0.75, 1, 3, 0, 0.25, 0.33)
+    assert out.dtype == np.int16 and len(out) > 0
+
+
+def test_knn_blend_exact(rng):
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    sq = (vecs ** 2).sum(1)
+    q = vecs[7:9] + 1e-4  # near rows 7, 8
+    out = np.asarray(knn_blend(jnp.asarray(q), jnp.asarray(vecs),
+                               jnp.asarray(sq), jnp.asarray(1.0), k=8))
+    # with index_rate 1 the result must be dominated by the nearest row
+    np.testing.assert_allclose(out[0], vecs[7], atol=1e-2)
+    # index_rate 0 returns the query untouched
+    out0 = np.asarray(knn_blend(jnp.asarray(q), jnp.asarray(vecs),
+                                jnp.asarray(sq), jnp.asarray(0.0), k=8))
+    np.testing.assert_allclose(out0, q, atol=1e-6)
+
+
+def test_feature_index_roundtrip(tmp_path, rng):
+    idx = build_index(rng.standard_normal((64, 16)).astype(np.float32))
+    p = str(tmp_path / "test.tpuidx.npz")
+    idx.save(p)
+    idx2 = FeatureIndex.load(p)
+    np.testing.assert_array_equal(idx.vectors, idx2.vectors)
+
+
+def test_wav_io_roundtrip(tmp_path):
+    x = tone(dur=0.5)
+    p = str(tmp_path / "t.wav")
+    save_wav(p, x, 16000)
+    y, sr = load_wav(p)
+    assert sr == 16000
+    np.testing.assert_allclose(y, x, atol=1.5 / 32768 + 1e-4)  # 16-bit quantization
+    # load_audio with resample
+    z = load_audio(p, 8000)
+    assert abs(len(z) - 4000) < 10
+
+
+def test_slicer_splits_on_silence():
+    sr = 16000
+    seg = tone(dur=6.0, sr=sr)
+    silence = np.zeros(sr, np.float32)
+    audio = np.concatenate([seg, silence, seg])
+    sl = Slicer(sr, threshold=-40, min_length=3000, min_interval=300,
+                hop_size=20, max_sil_kept=300)
+    chunks = sl.slice(audio)
+    assert len(chunks) == 2
+    assert all(len(c) > sr for c in chunks)
+    # short audio passes through
+    assert len(sl.slice(tone(dur=1.0))) == 1
+
+
+def test_change_rms_envelope():
+    src = tone() * 0.9
+    tgt = tone() * 0.1
+    out = change_rms(src, 16000, tgt.copy(), 16000, 0.0)  # full source env
+    assert np.abs(out).max() > np.abs(tgt).max() * 3
+
+
+def test_highpass_removes_dc():
+    x = tone() + 0.5
+    y = highpass_filter(x)
+    assert abs(y.mean()) < 0.01
+
+
+def test_base16384_roundtrip(rng):
+    from tpu_rvc.utils.base16384 import encode_to_string, decode_from_string
+    for n in [1, 2, 3, 6, 7, 8, 13, 14, 100, 1024]:
+        b = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert decode_from_string(encode_to_string(b)) == b
+
+
+def test_hash_similarity_and_id(rng):
+    from tpu_rvc.ckpt.hash import wave_hash, hash_similarity, hash_id
+    w1 = rng.standard_normal(48000).astype(np.float64)
+    w2 = w1 + rng.standard_normal(48000) * 0.01
+    h1 = wave_hash(w1.copy())
+    h2 = wave_hash(w2.copy())
+    assert hash_similarity(h1, h1) == 1.0
+    assert hash_similarity(h1, h2) > 0.5
+    i1 = hash_id(h1)
+    assert isinstance(i1, str) and len(i1) > 4
+
+
+def test_small_model_save_load_merge(tmp_path):
+    from tpu_rvc.core.config import hparams_for
+    from tpu_rvc.ckpt.small_model import save_small_model, merge
+    from tpu_rvc.ckpt.convert import state_dict_from_synthesizer_params
+    from tpu_rvc.models.loader import load_synthesizer
+
+    hp = hparams_for("v2", 48000)
+    syn = Synthesizer(**SMALL_SYNTH)
+    T = 20
+    v = syn.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, T, 64)), jnp.asarray([T]), jnp.asarray([0]),
+        jnp.zeros((1, T), jnp.int32), jnp.zeros((1, T)),
+        method=Synthesizer.infer)
+    sd = state_dict_from_synthesizer_params(v, use_f0=True, num_kernels=1)
+    # config list matching the small synth (not hp) for loadability
+    cfg = [SMALL_SYNTH["spec_channels"], 32, 32, 32, 64, 2, 1, 3, 0.0, "1",
+           [3], [[1, 3, 5]], [10, 16], 64, [20, 32], 2, 16, 16000]
+    import dataclasses
+    p1 = str(tmp_path / "m1.pth")
+    from tpu_rvc.ckpt.torch_pth import save_pth
+    save_pth({"weight": {k: w.astype(np.float16) for k, w in sd.items()},
+              "config": cfg, "sr": "40k", "f0": 1, "version": "v2",
+              "info": "test"}, p1)
+
+    mod, variables, meta = load_synthesizer(p1)
+    assert meta["version"] == "v2" and mod.use_f0
+    out = mod.apply(variables, jnp.zeros((1, T, 64)), jnp.asarray([T]),
+                    jnp.asarray([0]), jnp.zeros((1, T), jnp.int32),
+                    jnp.zeros((1, T)), deterministic=True,
+                    method=Synthesizer.infer)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # merge with itself must reproduce the (fp16) weights
+    p2 = str(tmp_path / "merged.pth")
+    merge(p1, p1, 0.5, "40k", 1, "merged", "m", "v2", out_path=p2)
+    from tpu_rvc.ckpt.torch_pth import load_pth
+    m = load_pth(p2)
+    np.testing.assert_allclose(
+        np.asarray(m["weight"]["emb_g.weight"], np.float32),
+        np.asarray(sd["emb_g.weight"], np.float32), rtol=1e-2, atol=1e-3)

@@ -325,3 +325,68 @@ def state_dict_from_synthesizer_params(
 
     out["emb_g.weight"] = np.asarray(p["emb_g"]["embedding"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Discriminator (MPD) conversion — for warm-starting from the reference's
+# pretrained D checkpoints (f0D40k.pth etc.; rvc/layers/discriminators.py)
+# ---------------------------------------------------------------------------
+
+_V1_PERIODS = (2, 3, 5, 7, 11, 17)
+_V2_PERIODS = (2, 3, 5, 7, 11, 17, 23, 37)
+
+
+def _conv2d_wn(sd: "_SD", prefix: str):
+    """torch weight-norm Conv2d (out,in,kh,kw) -> our named params
+    {g: (1,1,1,out), v: (kh,kw,in,out), bias}."""
+    g = sd.get(f"{prefix}.weight_g")
+    v = sd.get(f"{prefix}.weight_v")
+    b = sd.get(f"{prefix}.bias")
+    return (np.transpose(g, (1, 2, 3, 0)),
+            np.ascontiguousarray(np.transpose(v, (2, 3, 1, 0))), b)
+
+
+def discriminator_params_from_state_dict(sd, version: str = "v2"):
+    """Reference MultiPeriodDiscriminator state_dict -> flax params tree.
+
+    Reference layout: discriminators.0 = DiscriminatorS (Conv1d stack),
+    discriminators.{i>=1} = DiscriminatorP(period) (Conv2d (k,1) stacks).
+    Our layout (nn/discriminators.py): disc_s / disc_p{period} with
+    per-conv named params conv_{i}_{g,v,bias} in NHWC/HWIO.
+    """
+    sd = _SD(normalize_weight_norm_keys(sd))
+    periods = _V2_PERIODS if version == "v2" else _V1_PERIODS
+    p = {}
+
+    # DiscriminatorS: torch Conv1d (out, in/groups, k) -> (k, 1, in/g, out)
+    ds = {}
+    for i in range(6):
+        pre = f"discriminators.0.convs.{i}"
+        g = sd.get(f"{pre}.weight_g")       # (out, 1, 1)
+        v = sd.get(f"{pre}.weight_v")       # (out, in/g, k)
+        ds[f"conv_{i}_g"] = np.transpose(g, (1, 2, 0))[None]      # (1,1,1,out)
+        ds[f"conv_{i}_v"] = np.ascontiguousarray(
+            np.transpose(v, (2, 1, 0)))[:, None]                  # (k,1,in/g,out)
+        ds[f"conv_{i}_bias"] = sd.get(f"{pre}.bias")
+    g, v, b = _conv2d_wn_from_1d(sd, "discriminators.0.conv_post")
+    ds["conv_post_g"], ds["conv_post_v"], ds["conv_post_bias"] = g, v, b
+    p["disc_s"] = ds
+
+    for j, period in enumerate(periods, start=1):
+        dp = {}
+        for i in range(5):
+            g, v, b = _conv2d_wn(sd, f"discriminators.{j}.convs.{i}")
+            dp[f"conv_{i}_g"], dp[f"conv_{i}_v"], dp[f"conv_{i}_bias"] = g, v, b
+        g, v, b = _conv2d_wn(sd, f"discriminators.{j}.conv_post")
+        dp["conv_post_g"], dp["conv_post_v"], dp["conv_post_bias"] = g, v, b
+        p[f"disc_p{period}"] = dp
+    return p
+
+
+def _conv2d_wn_from_1d(sd: "_SD", prefix: str):
+    """torch weight-norm Conv1d (out,in,k) -> 2D (k,1,in,out) params."""
+    g = sd.get(f"{prefix}.weight_g")   # (out,1,1)
+    v = sd.get(f"{prefix}.weight_v")   # (out,in,k)
+    b = sd.get(f"{prefix}.bias")
+    return (np.transpose(g, (1, 2, 0))[None],
+            np.ascontiguousarray(np.transpose(v, (2, 1, 0)))[:, None], b)

@@ -1,0 +1,315 @@
+"""Offline voice-conversion pipeline (reference infer/modules/vc/pipeline.py).
+
+Flow per utterance (pipeline.py:186-366 semantics):
+  1. 48 Hz Butterworth high-pass (zero phase)
+  2. long audio (> x_max s) split at the quietest sample near every
+     x_center-second boundary, searched within +-x_query s
+  3. f0 once over the whole reflect-padded signal (coarse + continuous)
+  4. per chunk: HuBERT -> retrieval blend -> 2x time upsample -> protect
+     mask -> synthesizer.infer; trim the x_pad reflect padding
+  5. RMS envelope mix, optional resample, int16 peak scaling
+
+TPU-first rework: step 4 is ONE jitted device graph per bucketed chunk
+length (chunks padded up to whole seconds; true lengths drive the masks),
+and retrieval is an in-graph matmul top-k (no faiss host round trip,
+reference pipeline.py:118-138).  The `times=[npy, f0, infer]` accounting is
+preserved in the public API (reference modules.py:192).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_rvc.audio.dsp import change_rms, highpass_filter
+from tpu_rvc.f0.gen import Generator as F0Generator
+from tpu_rvc.retrieval.index import FeatureIndex
+from tpu_rvc.retrieval.search import knn_blend
+from tpu_rvc.ops.resample import resample_poly
+
+
+SR = 16000
+WINDOW = 160  # f0 / feature frame hop at 16 kHz
+
+
+def _bucket(n: int, step: int = SR) -> int:
+    return int(math.ceil(n / step)) * step
+
+
+class Pipeline:
+    def __init__(self, tgt_sr: int, *, hubert, hubert_vars, synth, synth_vars,
+                 version: str = "v2", x_pad: float = 3.0, x_query: float = 10.0,
+                 x_center: float = 60.0, x_max: float = 65.0,
+                 rmvpe_root: str = "assets/rmvpe", is_half: bool = True,
+                 dtype=jnp.float32):
+        self.tgt_sr = tgt_sr
+        self.version = version
+        self.hubert, self.hubert_vars = hubert, hubert_vars
+        self.synth, self.synth_vars = synth, synth_vars
+        self.dtype = dtype
+        self.t_pad = int(SR * x_pad)
+        self.t_pad_tgt = int(tgt_sr * x_pad)
+        self.t_pad2 = self.t_pad * 2
+        self.t_query = int(SR * x_query)
+        self.t_center = int(SR * x_center)
+        self.t_max = int(SR * x_max)
+        self.f0_gen = F0Generator(rmvpe_root, is_half, x_pad,
+                                  window=WINDOW, sr=SR)
+        self._graphs: Dict[Tuple, Any] = {}
+
+    # ------------------------------------------------------------------
+    def _chunk_graph(self, bucket_len: int, use_f0: bool, has_index: bool,
+                     protect_on: bool):
+        """Build/reuse the jitted per-chunk device graph."""
+        key = (bucket_len, use_f0, has_index, protect_on)
+        if key in self._graphs:
+            return self._graphs[key]
+
+        upsample = math.prod(self.synth.upsample_rates)
+
+        def run(audio, true_len, sid, pitch, pitchf, index_vecs, index_sq,
+                index_rate, protect, noise_key):
+            # audio: (bucket_len,) float32 @16k; pitch/pitchf: (p_len,)
+            pos = jnp.arange(bucket_len)
+            padding_mask = pos >= true_len
+            feats = self.hubert.apply(self.hubert_vars,
+                                      audio[None].astype(self.dtype),
+                                      padding_mask[None])  # (1, F, D)
+            feats0 = feats
+            if has_index:
+                feats = knn_blend(feats[0], index_vecs, index_sq,
+                                  index_rate)[None]
+            # 2x nearest time-upsample (reference F.interpolate scale 2)
+            feats = jnp.repeat(feats, 2, axis=1)
+            p_len_static = min(bucket_len // WINDOW, feats.shape[1])
+            feats = feats[:, :p_len_static]
+            if use_f0 and protect_on:
+                feats0 = jnp.repeat(feats0, 2, axis=1)[:, :p_len_static]
+                pitchff = jnp.where(pitchf > 0, 1.0, protect)[None, :, None]
+                feats = feats * pitchff + feats0 * (1 - pitchff)
+            true_frames = jnp.minimum(true_len // WINDOW, p_len_static)
+            audio_out = self.synth.apply(
+                self.synth_vars,
+                feats.astype(self.dtype),
+                true_frames[None],
+                sid[None],
+                pitch[None] if use_f0 else None,
+                pitchf[None].astype(self.dtype) if use_f0 else None,
+                method=self.synth.infer,
+                rngs={"noise": noise_key},
+            )
+            return audio_out[0, :, 0].astype(jnp.float32)
+
+        jitted = jax.jit(run)
+        self._graphs[key] = jitted
+        return jitted
+
+    # ------------------------------------------------------------------
+    def vc_chunk(self, audio_chunk: np.ndarray, sid: int,
+                 pitch: Optional[np.ndarray], pitchf: Optional[np.ndarray],
+                 index: Optional[FeatureIndex], index_rate: float,
+                 protect: float, times: List[float],
+                 noise_seed: int = 0) -> np.ndarray:
+        """Convert one 16 kHz chunk -> target-sr audio (reference vc,
+        pipeline.py:76)."""
+        use_f0 = pitch is not None
+        has_index = index is not None and index_rate > 0
+        protect_on = use_f0 and protect < 0.5
+        L = len(audio_chunk)
+        bucket = _bucket(L)
+        graph = self._chunk_graph(bucket, use_f0, has_index, protect_on)
+
+        audio_pad = np.zeros(bucket, np.float32)
+        audio_pad[:L] = audio_chunk
+        p_len_static = min(bucket // WINDOW,
+                           2 * ((bucket - 400) // 320 + 1))
+        if use_f0:
+            pit = np.zeros(p_len_static, np.int32)
+            pitf = np.zeros(p_len_static, np.float32)
+            n = min(p_len_static, len(pitch))
+            pit[:n] = pitch[:n]
+            pitf[:n] = pitchf[:n]
+        else:
+            pit = np.zeros(p_len_static, np.int32)
+            pitf = np.zeros(p_len_static, np.float32)
+        if has_index:
+            vecs, sq = index.device_arrays()
+        else:
+            d = 256 if self.version == "v1" else 768
+            vecs = jnp.zeros((1, d), jnp.float32)
+            sq = jnp.zeros((1,), jnp.float32)
+
+        t0 = time.time()
+        out = graph(jnp.asarray(audio_pad), jnp.asarray(L), jnp.asarray(sid),
+                    jnp.asarray(pit), jnp.asarray(pitf), vecs, sq,
+                    jnp.asarray(index_rate, jnp.float32),
+                    jnp.asarray(protect, jnp.float32),
+                    jax.random.PRNGKey(noise_seed))
+        out = np.asarray(out)
+        times[2] += time.time() - t0
+        # trim to the chunk's true frame count
+        hop_tgt = self.tgt_sr // 100 if self.tgt_sr % 100 == 0 else None
+        true_frames = min(L // WINDOW, p_len_static)
+        upsample = math.prod(self.synth.upsample_rates)
+        return out[: true_frames * upsample]
+
+    # ------------------------------------------------------------------
+    def pipeline(self, sid: int, audio: np.ndarray, times: List[float],
+                 f0_up_key: int, f0_method: str,
+                 index: Optional[FeatureIndex], index_rate: float,
+                 if_f0: int, filter_radius: Optional[float],
+                 resample_sr: int, rms_mix_rate: float, protect: float,
+                 f0_file: Optional[np.ndarray] = None,
+                 noise_seed: int = 0) -> np.ndarray:
+        """Full conversion (reference pipeline, pipeline.py:186)."""
+        audio = highpass_filter(np.asarray(audio, np.float32))
+
+        # silence-point chunking for long audio (pipeline.py:224-236)
+        opt_ts: List[int] = []
+        audio_pad_w = np.pad(audio, (WINDOW // 2, WINDOW // 2), mode="reflect")
+        if audio_pad_w.shape[0] > self.t_max:
+            audio_sum = np.zeros_like(audio)
+            for i in range(WINDOW):
+                audio_sum += np.abs(audio_pad_w[i: i - WINDOW])
+            for t in range(self.t_center, audio.shape[0], self.t_center):
+                win = audio_sum[t - self.t_query: t + self.t_query]
+                opt_ts.append(t - self.t_query + int(np.argmin(win)))
+
+        audio_pad = np.pad(audio, (self.t_pad, self.t_pad), mode="reflect")
+        p_len = audio_pad.shape[0] // WINDOW
+
+        pitch = pitchf = None
+        if if_f0:
+            t0 = time.time()
+            if if_f0 == 2:
+                # precomputed track passed through f0_method
+                # (reference pipeline.py:268; used by model hashing)
+                pitch, pitchf = f0_method
+            else:
+                pitch, pitchf = self.f0_gen.calculate(
+                    audio_pad, p_len, f0_up_key, f0_method, filter_radius,
+                    f0_file)
+            pitch = np.asarray(pitch)[:p_len]
+            pitchf = np.asarray(pitchf, np.float32)[:p_len]
+            times[1] += time.time() - t0
+
+        audio_opt: List[np.ndarray] = []
+        s, t = 0, None
+        for t in opt_ts:
+            t = t // WINDOW * WINDOW
+            chunk = audio_pad[s: t + self.t_pad2 + WINDOW]
+            pi = pitch[s // WINDOW: (t + self.t_pad2) // WINDOW] if if_f0 else None
+            pf = pitchf[s // WINDOW: (t + self.t_pad2) // WINDOW] if if_f0 else None
+            out = self.vc_chunk(chunk, sid, pi, pf, index, index_rate,
+                                protect, times, noise_seed)
+            audio_opt.append(out[self.t_pad_tgt: -self.t_pad_tgt])
+            s = t
+        chunk = audio_pad[t:] if t is not None else audio_pad
+        pi = (pitch[t // WINDOW:] if t is not None else pitch) if if_f0 else None
+        pf = (pitchf[t // WINDOW:] if t is not None else pitchf) if if_f0 else None
+        out = self.vc_chunk(chunk, sid, pi, pf, index, index_rate, protect,
+                            times, noise_seed)
+        audio_opt.append(out[self.t_pad_tgt: -self.t_pad_tgt])
+
+        result = np.concatenate(audio_opt)
+        if rms_mix_rate != 1:
+            result = change_rms(audio, SR, result, self.tgt_sr, rms_mix_rate)
+        if self.tgt_sr != resample_sr and resample_sr >= SR:
+            result = np.asarray(resample_poly(jnp.asarray(result[None]),
+                                              self.tgt_sr, resample_sr))[0]
+        audio_max = np.abs(result).max() / 0.99
+        max_int16 = 32768.0
+        if audio_max > 1:
+            max_int16 /= audio_max
+        return (result * max_int16).astype(np.int16)
+
+
+class VC:
+    """Model-lifecycle facade (reference infer/modules/vc/modules.py:18)."""
+
+    def __init__(self, version_default: str = "v2", is_half: bool = True,
+                 rmvpe_root: str = "assets/rmvpe",
+                 hubert_path: str = "assets/hubert/hubert_base.pt",
+                 x_pad: float = 3.0):
+        self.is_half = is_half
+        self.rmvpe_root = rmvpe_root
+        self.hubert_path = hubert_path
+        self.x_pad = x_pad
+        self.pipeline: Optional[Pipeline] = None
+        self.tgt_sr: Optional[int] = None
+        self.version: Optional[str] = None
+        self.if_f0 = 1
+        self.n_spk: Optional[int] = None
+        self._hubert = None
+
+    def get_vc(self, model_path: str, hubert=None, hubert_vars=None):
+        """Load a small model + (lazily) HuBERT; build the pipeline
+        (reference VC.get_vc, modules.py:32)."""
+        from tpu_rvc.models.loader import load_synthesizer
+
+        synth, synth_vars, meta = load_synthesizer(model_path)
+        self.tgt_sr = synth.sr
+        self.version = meta.get("version", "v1")
+        self.if_f0 = int(meta.get("f0", 1))
+        self.n_spk = synth.spk_embed_dim
+        if hubert is None:
+            if self._hubert is None:
+                from tpu_rvc.ckpt.hubert_loader import load_hubert_base
+                self._hubert = load_hubert_base(self.hubert_path, self.version)
+            hubert, hubert_vars = self._hubert
+        self.pipeline = Pipeline(
+            self.tgt_sr, hubert=hubert, hubert_vars=hubert_vars,
+            synth=synth, synth_vars=synth_vars, version=self.version,
+            rmvpe_root=self.rmvpe_root, is_half=self.is_half,
+            x_pad=self.x_pad)
+        return meta
+
+    def vc_single(self, sid: int, input_audio_path: str, f0_up_key: int = 0,
+                  f0_method: str = "rmvpe", index: Optional[FeatureIndex] = None,
+                  index_rate: float = 0.75, filter_radius: int = 3,
+                  resample_sr: int = 0, rms_mix_rate: float = 0.25,
+                  protect: float = 0.33, f0_file=None):
+        """Convert one file (reference vc_single, modules.py:117).
+        Returns (info_message, (sr, int16 audio))."""
+        from tpu_rvc.audio.io import load_audio
+
+        if self.pipeline is None:
+            raise RuntimeError("call get_vc first")
+        audio = load_audio(input_audio_path, SR)
+        audio_max = np.abs(audio).max() / 0.95
+        if audio_max > 1:
+            audio = audio / audio_max
+        times = [0.0, 0.0, 0.0]
+        out = self.pipeline.pipeline(
+            sid, audio, times, f0_up_key, f0_method, index, index_rate,
+            self.if_f0, filter_radius, resample_sr, rms_mix_rate, protect,
+            f0_file)
+        tgt = (resample_sr if self.tgt_sr != resample_sr and
+               resample_sr >= SR else self.tgt_sr)
+        info = (f"npy: {times[0]:.2f}s, f0: {times[1]:.2f}s, "
+                f"infer: {times[2]:.2f}s")
+        return info, (tgt, out)
+
+    def vc_multi(self, sid: int, paths: List[str], out_dir: str, **kwargs):
+        """Batch conversion (reference vc_multi, modules.py:201)."""
+        import os
+        from tpu_rvc.audio.io import save_audio
+
+        os.makedirs(out_dir, exist_ok=True)
+        infos = []
+        for path in paths:
+            try:
+                info, (sr, audio) = self.vc_single(sid, path, **kwargs)
+                base = os.path.basename(path)
+                save_audio(os.path.join(out_dir, f"{base}.wav"),
+                           audio, sr)
+                infos.append(f"{base} -> Success ({info})")
+            except Exception as e:  # pragma: no cover
+                infos.append(f"{path} -> {e}")
+        return "\n".join(infos)

@@ -1,0 +1,188 @@
+"""Training orchestration (reference infer/modules/train/train.py:132-737).
+
+run_training drives: dataset -> bucketed batches sharded over the mesh's
+data axis -> jitted GAN step -> periodic checkpoints (orbax-style native
+state + reference-compatible G/D .pth) -> final small-model export.
+
+Replaces the reference's per-GPU process spawn + DDP (train.py:102-217)
+with one SPMD program over a jax mesh.
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpu_rvc.core.config import HParams
+from tpu_rvc.core.mesh import make_mesh
+from .data import RVCDataset, BucketBatcher, write_filelist
+from .step import TrainState, create_train_state, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def save_native_checkpoint(path: str, state: TrainState) -> None:
+    """Flat-npz native checkpoint (full train state incl. optimizers)."""
+    flat, treedef = jax.tree_util.tree_flatten(state)
+    np.savez(path, treedef=np.frombuffer(
+        str(jax.tree_util.tree_structure(state)).encode(), dtype=np.uint8),
+        n=len(flat),
+        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)})
+
+
+def load_native_checkpoint(path: str, template: TrainState) -> TrainState:
+    z = np.load(path, allow_pickle=False)
+    flat = [z[f"leaf_{i}"] for i in range(int(z["n"]))]
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(treedef, flat)
+
+
+def export_reference_g_pth(path: str, g_params, epoch: int, lr: float,
+                           use_f0: bool = True, num_kernels: int = 3) -> None:
+    """Write a reference-layout G_*.pth (weights + metadata; optimizer state
+    stays in the native checkpoint — reference format at
+    infer/lib/train/utils.py:89-107)."""
+    from tpu_rvc.ckpt.convert import state_dict_from_synthesizer_params
+    from tpu_rvc.ckpt.torch_pth import save_pth
+
+    sd = state_dict_from_synthesizer_params({"params": g_params},
+                                            use_f0=use_f0,
+                                            num_kernels=num_kernels)
+    save_pth({"model": sd, "iteration": epoch, "learning_rate": lr,
+              "optimizer": None}, path)
+
+
+def latest_checkpoint(dirpath: str, prefix: str = "state_") -> Optional[str]:
+    """Highest-numbered native checkpoint (reference utils.py:129 role)."""
+    paths = glob.glob(os.path.join(dirpath, f"{prefix}*.npz"))
+    if not paths:
+        return None
+    return max(paths, key=lambda p: int(
+        "".join(filter(str.isdigit, os.path.basename(p))) or 0))
+
+
+def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
+                 if_f0: bool = True, spk_id: int = 0,
+                 save_every_epoch: int = 5, batch_size: Optional[int] = None,
+                 pretrain_g: str = "", pretrain_d: str = "",
+                 name: str = "model", author: str = "",
+                 log_fn=None) -> Dict[str, Any]:
+    """Fine-tune on a prepared experiment dir; returns final metrics."""
+    log = log_fn or (lambda s: logger.info(s))
+    sr_tag = {32000: "32k", 40000: "40k", 48000: "48k"}[hp.data.sampling_rate]
+    filelist = os.path.join(exp_dir, "filelist.txt")
+    if not os.path.exists(filelist):
+        write_filelist(exp_dir, hp.version, if_f0, spk_id, sr_tag)
+    ds = RVCDataset(filelist, hp, if_f0=if_f0)
+    bs = batch_size or hp.train.batch_size
+    mesh = make_mesh()
+    n_data = mesh.shape["data"]
+    bs = max(bs // n_data * n_data, n_data)  # divisible by data axis
+    batcher = BucketBatcher(ds, bs, seed=hp.train.seed)
+    steps_per_epoch = max(len(ds) // bs, 1)
+
+    state, net_g, net_d = create_train_state(
+        hp, jax.random.PRNGKey(hp.train.seed), steps_per_epoch)
+
+    # warm start / resume
+    ckpt = latest_checkpoint(exp_dir)
+    start_epoch = 0
+    if ckpt:
+        state = load_native_checkpoint(ckpt, state)
+        start_epoch = int(state.step) // steps_per_epoch
+        log(f"resumed from {ckpt} at epoch {start_epoch}")
+    else:
+        if pretrain_g and os.path.exists(pretrain_g):
+            from tpu_rvc.ckpt.torch_pth import load_pth
+            from tpu_rvc.ckpt.convert import synthesizer_params_from_state_dict
+            sd = load_pth(pretrain_g)
+            sd = sd["model"] if "model" in sd else sd.get("weight", sd)
+            g_params = synthesizer_params_from_state_dict(
+                {k: np.asarray(v, np.float32) for k, v in sd.items()},
+                n_layers=hp.model.n_layers,
+                n_ups=len(hp.model.upsample_rates),
+                num_kernels=len(hp.model.resblock_kernel_sizes),
+                use_f0=if_f0, has_enc_q=True, fold_weight_norm=False,
+                strict=False)
+            state, net_g, net_d = create_train_state(
+                hp, jax.random.PRNGKey(hp.train.seed), steps_per_epoch,
+                g_params=_merge_partial(state.g_params, g_params, log))
+            log(f"loaded pretrained G from {pretrain_g}")
+        if pretrain_d and os.path.exists(pretrain_d):
+            from tpu_rvc.ckpt.torch_pth import load_pth
+            from tpu_rvc.ckpt.convert import discriminator_params_from_state_dict
+            sd = load_pth(pretrain_d)
+            sd = sd["model"] if "model" in sd else sd
+            d_params = discriminator_params_from_state_dict(
+                {k: np.asarray(v, np.float32) for k, v in sd.items()},
+                version=hp.version)
+            state = state._replace(
+                d_params=_merge_partial(state.d_params, d_params, log))
+            log(f"loaded pretrained D from {pretrain_d}")
+
+    step_fn = make_train_step(net_g, net_d, hp, steps_per_epoch)
+    data_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    state = jax.device_put(state, repl)
+
+    metrics = {}
+    for epoch in range(start_epoch, total_epochs):
+        t0 = time.time()
+        n_batches = 0
+        for batch in batcher.epoch(epoch):
+            batch = {k: jax.device_put(jnp.asarray(v), data_sh)
+                     for k, v in batch.items()}
+            state, metrics = step_fn(state, batch,
+                                     jax.random.PRNGKey(hp.train.seed))
+            n_batches += 1
+        log(f"epoch {epoch + 1}/{total_epochs}: "
+            f"{n_batches} steps in {time.time() - t0:.1f}s, "
+            + ", ".join(f"{k}={float(v):.3f}" for k, v in metrics.items()))
+        if (epoch + 1) % save_every_epoch == 0 or epoch + 1 == total_epochs:
+            save_native_checkpoint(
+                os.path.join(exp_dir, f"state_{epoch + 1}.npz"), state)
+            export_reference_g_pth(
+                os.path.join(exp_dir, f"G_{epoch + 1}.pth"),
+                jax.device_get(state.g_params), epoch + 1,
+                hp.train.learning_rate * hp.train.lr_decay ** (epoch + 1),
+                use_f0=if_f0,
+                num_kernels=len(hp.model.resblock_kernel_sizes))
+
+    # final small-model export (reference train.py:721-737)
+    from tpu_rvc.ckpt.convert import state_dict_from_synthesizer_params
+    from tpu_rvc.ckpt.small_model import save_small_model
+    sd = state_dict_from_synthesizer_params(
+        {"params": jax.device_get(state.g_params)}, use_f0=if_f0,
+        num_kernels=len(hp.model.resblock_kernel_sizes))
+    out = save_small_model(sd, sr_tag, int(if_f0), name, total_epochs,
+                           hp.version, hp,
+                           out_path=os.path.join(exp_dir, f"{name}.pth"),
+                           author=author)
+    log(f"saved small model to {out}")
+    return {k: float(v) for k, v in metrics.items()}
+
+
+def _merge_partial(dst, src, log):
+    """Shape-checked partial load (reference utils.py:33-73 semantics)."""
+    flat_dst = jax.tree_util.tree_flatten_with_path(dst)[0]
+    flat_src = dict(jax.tree_util.tree_flatten_with_path(src)[0])
+    out = []
+    n_hit = 0
+    for path, leaf in flat_dst:
+        cand = flat_src.get(path)
+        if cand is not None and np.shape(cand) == np.shape(leaf):
+            out.append(jnp.asarray(cand, jnp.asarray(leaf).dtype))
+            n_hit += 1
+        else:
+            out.append(leaf)
+    log(f"partial load: {n_hit}/{len(flat_dst)} tensors matched")
+    treedef = jax.tree_util.tree_structure(dst)
+    return jax.tree_util.tree_unflatten(treedef, out)
