@@ -1,0 +1,100 @@
+"""Realtime engine tests: block contract, pitch-cache rolling, SOLA
+continuity of the stream session."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_rvc.models.synthesizer import Synthesizer
+from tpu_rvc.models.hubert import Hubert
+from tpu_rvc.pipeline.rt import RealtimeVC, StreamSession, phase_vocoder
+
+SMALL_HUBERT = dict(output_layer=1, final_proj=False, embed=64, ffn_dim=64,
+                    n_heads=2, pos_conv_k=16, pos_conv_groups=2,
+                    conv_layers=((32, 10, 5), (32, 4, 4), (32, 4, 4),
+                                 (32, 2, 2), (32, 2, 2)))
+
+SMALL_SYNTH = dict(
+    spec_channels=129, segment_size=640, inter_channels=32,
+    hidden_channels=32, filter_channels=64, n_heads=2, n_layers=1,
+    kernel_size=3, p_dropout=0.0, resblock="1",
+    resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3, 5),),
+    upsample_rates=(10, 16), upsample_initial_channel=32,
+    upsample_kernel_sizes=(20, 32), spk_embed_dim=2, gin_channels=16,
+    sr=16000, encoder_dim=64, use_f0=True, weight_norm=False,
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    hub = Hubert(**SMALL_HUBERT)
+    hv = hub.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))
+    syn = Synthesizer(**SMALL_SYNTH)
+    T = 20
+    sv = syn.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, T, 64)), jnp.asarray([T]), jnp.asarray([0]),
+        jnp.zeros((1, T), jnp.int32), jnp.zeros((1, T)),
+        method=Synthesizer.infer)
+    return RealtimeVC(hubert=hub, hubert_vars=hv, synth=syn, synth_vars=sv,
+                      version="v2", if_f0=1)
+
+
+def tone(hz=220.0, sr=16000, dur=1.0, phase0=0.0):
+    t = np.arange(int(sr * dur)) / sr
+    return (0.5 * np.sin(2 * np.pi * hz * t + phase0)).astype(np.float32)
+
+
+def test_realtime_infer_block_contract(engine):
+    # window: 1 s of 16k context; block 160 ms; return 28 frames
+    win = tone(dur=1.0)
+    block_16k = 2560  # 160 ms
+    out = engine.infer(win, block_16k, skip_head=64, return_length=28,
+                       f0method="pm")
+    assert out.shape == (28 * 160,)  # tgt 16k: 160 samples/frame
+    assert np.isfinite(out).all()
+    # pitch cache rolled in (one call fills len(f0)-4 tail frames)
+    assert engine.cache_pitchf[-16:].min() > 0
+
+
+def test_realtime_formant_shift_resamples(engine):
+    win = tone(dur=1.0)
+    engine.set_formant(2.0)
+    out = engine.infer(win, 2560, skip_head=64, return_length=28,
+                       f0method="pm")
+    engine.set_formant(0.0)
+    # output resampled back to return_length * tgt_sr/100 samples
+    assert abs(len(out) - 28 * 160) <= 160
+
+
+def test_phase_vocoder_blend_endpoints():
+    n = 64
+    fade_in = np.sin(0.5 * np.pi * np.linspace(0, 1, n)) ** 2
+    fade_out = 1.0 - fade_in
+    a = tone(dur=n / 16000)
+    b = tone(dur=n / 16000, phase0=0.3)
+    out = phase_vocoder(a[:n].astype(np.float64), b[:n].astype(np.float64),
+                        fade_out, fade_in)
+    assert out.shape == (n,)
+    assert np.isfinite(out).all()
+
+
+def test_stream_session_continuity(engine):
+    """Feeding a steady tone must produce a steady output stream without
+    NaNs or gross discontinuities at block joins."""
+    sess = StreamSession(engine, samplerate=16000, block_time=0.16,
+                         crossfade_time=0.04, extra_time=0.5, f0method="pm",
+                         rms_mix_rate=1.0)
+    sr = 16000
+    audio = tone(dur=2.0, sr=sr)
+    outs = []
+    for i in range(0, len(audio) - sess.block_frame + 1, sess.block_frame):
+        outs.append(sess.feed(audio[i: i + sess.block_frame]))
+    out = np.concatenate(outs)
+    assert np.isfinite(out).all()
+    assert out.shape[0] == len(outs) * sess.block_frame
+    # block joins: no sample-to-sample jump larger than the global max swing
+    d = np.abs(np.diff(out[sess.block_frame:]))
+    assert d.max() < 1.0

@@ -49,8 +49,8 @@ class CRePE(F0Predictor):
         n = 1 + (len(wav_p) - WINDOW) // self.hop_length
 
         def run(w):
-            idx = (np.arange(n)[:, None] * self.hop_length +
-                   np.arange(WINDOW)[None, :])
+            idx = (jnp.arange(n)[:, None] * self.hop_length +
+                   jnp.arange(WINDOW)[None, :])
             frames = w[idx]
             mu = jnp.mean(frames, axis=1, keepdims=True)
             sd = jnp.maximum(jnp.std(frames, axis=1, keepdims=True), 1e-10)

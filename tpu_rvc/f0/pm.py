@@ -34,7 +34,7 @@ def _pm_f0(wav, sr: int, hop: int, win: int, f0_min: float, f0_max: float,
            voicing_threshold: float = 0.6):
     T = wav.shape[-1]
     n_frames = max(1 + (T - win) // hop, 1)
-    idx = (np.arange(n_frames)[:, None] * hop + np.arange(win)[None, :])
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(win)[None, :]
     frames = wav[idx]  # (F, win)
     frames = frames - jnp.mean(frames, axis=1, keepdims=True)
 

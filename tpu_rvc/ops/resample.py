@@ -72,10 +72,10 @@ def linear_interp_1d(x: jax.Array, out_len: int) -> jax.Array:
     if T == out_len:
         return x
     scale = T / out_len
-    pos = (np.arange(out_len) + 0.5) * scale - 0.5
-    lo = np.clip(np.floor(pos).astype(np.int64), 0, T - 1)
-    hi = np.clip(lo + 1, 0, T - 1)
-    frac = jnp.asarray(np.clip(pos - lo, 0.0, 1.0), dtype=x.dtype)
+    pos = (jnp.arange(out_len, dtype=jnp.float32) + 0.5) * scale - 0.5
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, T - 1)
+    hi = jnp.clip(lo + 1, 0, T - 1)
+    frac = jnp.clip(pos - lo, 0.0, 1.0).astype(x.dtype)
     return x[..., lo] * (1 - frac) + x[..., hi] * frac
 
 

@@ -30,12 +30,15 @@ def hann_window(win_length: int, dtype=jnp.float32) -> jax.Array:
 
 
 def frame_signal(y: jax.Array, frame_length: int, hop: int) -> jax.Array:
-    """(B, T) -> (B, n_frames, frame_length) with n_frames = 1+(T-frame)//hop."""
+    """(B, T) -> (B, n_frames, frame_length) with n_frames = 1+(T-frame)//hop.
+
+    The index grid is built from traced iotas (not a numpy literal) so large
+    framings don't embed multi-MB constants in the HLO.
+    """
     T = y.shape[-1]
     n_frames = 1 + (T - frame_length) // hop
-    # Gather via dynamic slice-free indexing: build (n_frames, frame_length)
-    # index grid once (static) and let XLA turn it into a gather.
-    idx = (np.arange(n_frames)[:, None] * hop + np.arange(frame_length)[None, :])
+    idx = (jnp.arange(n_frames)[:, None] * hop +
+           jnp.arange(frame_length)[None, :])
     return y[..., idx]
 
 

@@ -1,0 +1,294 @@
+"""Realtime voice-conversion engine (reference infer/lib/rtrvc.py:19 `RVC`
+and the gui.py stream loop math).
+
+RealtimeVC — the per-block model engine (rtrvc.RVC role):
+  - persistent HuBERT + synthesizer, rolling 1024-frame pitch cache shifted
+    per block (rtrvc.py:209-217)
+  - retrieval applied to the tail only (rtrvc.py:168-185)
+  - formant shift via return_length2 + output polyphase resample
+    (rtrvc.py:190,249-259)
+  - the whole block (HuBERT -> retrieve -> enc_p full window -> flow on
+    tail+24-frame pre-roll -> decode tail) is ONE jitted graph with static
+    (window, skip_head, return_length, return_length2) — the streaming
+    config fixes these, so there is exactly one compilation per session.
+
+StreamSession — the block loop (gui.py:934-1126 math, device-I/O-free):
+  rolling input windows, 16 kHz resample, RealtimeVC.infer, RMS mix, SOLA
+  alignment (normalized cross-correlation, gui.py:1058-1073) and
+  crossfade / phase-vocoder merge (gui.py:27-48).  Feed blocks in, get
+  aligned blocks out; audio device plumbing stays outside.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_rvc.f0.gen import Generator as F0Generator
+from tpu_rvc.ops.resample import resample_poly
+from tpu_rvc.retrieval.index import FeatureIndex
+from tpu_rvc.retrieval.search import knn_blend
+
+SR = 16000
+WINDOW = 160
+
+
+class RealtimeVC:
+    def __init__(self, *, hubert, hubert_vars, synth, synth_vars,
+                 version: str = "v2", if_f0: int = 1,
+                 index: Optional[FeatureIndex] = None,
+                 index_rate: float = 0.0, f0_up_key: float = 0.0,
+                 formant_shift: float = 0.0,
+                 rmvpe_root: str = "assets/rmvpe", dtype=jnp.float32):
+        self.hubert, self.hubert_vars = hubert, hubert_vars
+        self.synth, self.synth_vars = synth, synth_vars
+        self.version = version
+        self.if_f0 = if_f0
+        self.index = index
+        self.index_rate = index_rate
+        self.f0_up_key = f0_up_key
+        self.formant_shift = formant_shift
+        self.tgt_sr = synth.sr
+        self.dtype = dtype
+        self.cache_pitch = np.zeros(1024, np.int32)
+        self.cache_pitchf = np.zeros(1024, np.float32)
+        self.f0_gen = F0Generator(rmvpe_root, x_pad=0, window=WINDOW, sr=SR)
+        self._graphs: Dict[Tuple, any] = {}
+        self._step = 0
+
+    def set_key(self, key):          # reference rtrvc.py:122
+        self.f0_up_key = key
+
+    def set_formant(self, formant):  # reference rtrvc.py:125
+        self.formant_shift = formant
+
+    def set_index_rate(self, rate):  # reference rtrvc.py:128
+        self.index_rate = rate
+
+    def _graph(self, L16: int, skip_head: int, return_length: int,
+               return_length2: int, use_f0: bool, has_index: bool,
+               protect_on: bool):
+        key = (L16, skip_head, return_length, return_length2, use_f0,
+               has_index, protect_on)
+        if key in self._graphs:
+            return self._graphs[key]
+
+        def run(wav16, pitch, pitchf, index_vecs, index_sq, index_rate,
+                protect, noise_key):
+            feats = self.hubert.apply(self.hubert_vars,
+                                      wav16[None].astype(self.dtype))
+            feats = jnp.concatenate([feats, feats[:, -1:]], axis=1)
+            feats0 = feats
+            if has_index:
+                tail = feats[0, skip_head // 2:]
+                blended = knn_blend(tail, index_vecs, index_sq, index_rate)
+                feats = feats.at[0, skip_head // 2:].set(
+                    blended.astype(feats.dtype))
+            p_len = L16 // WINDOW
+            feats = jnp.repeat(feats, 2, axis=1)[:, :p_len]
+            if use_f0 and protect_on:
+                feats0 = jnp.repeat(feats0, 2, axis=1)[:, :p_len]
+                pitchff = jnp.where(pitchf > 0, 1.0, protect)[None, :, None]
+                feats = feats * pitchff + feats0 * (1 - pitchff)
+            audio = self.synth.apply(
+                self.synth_vars, feats.astype(self.dtype),
+                jnp.asarray([p_len]), jnp.asarray([0]),
+                pitch[None] if use_f0 else None,
+                pitchf[None].astype(self.dtype) if use_f0 else None,
+                skip_head=skip_head, return_length=return_length,
+                return_length2=return_length2,
+                method=self.synth.infer, rngs={"noise": noise_key})
+            return audio[0, :, 0].astype(jnp.float32)
+
+        self._graphs[key] = jax.jit(run)
+        return self._graphs[key]
+
+    def infer(self, input_wav: np.ndarray, block_frame_16k: int,
+              skip_head: int, return_length: int,
+              f0method: Union[tuple, str] = "rmvpe",
+              protect: float = 1.0) -> np.ndarray:
+        """Convert one rolling window; returns target-rate audio of
+        return_length frames (reference rtrvc.RVC.infer, rtrvc.py:134)."""
+        input_wav = np.asarray(input_wav, np.float32)
+        L16 = len(input_wav)
+        p_len = L16 // WINDOW
+        factor = 2.0 ** (self.formant_shift / 12)
+        return_length2 = int(np.ceil(return_length * factor))
+        use_f0 = self.if_f0 == 1
+        protect_on = use_f0 and protect < 0.5
+
+        pitch = np.zeros(p_len, np.int32)
+        pitchf = np.zeros(p_len, np.float32)
+        if isinstance(f0method, tuple):
+            pitch_t, pitchf_t = f0method
+            pitch[:len(pitch_t)] = pitch_t[:p_len]
+            pitchf[:len(pitchf_t)] = pitchf_t[:p_len]
+        elif use_f0:
+            # f0 on the tail only, rolled into the 1024-frame cache
+            f0_extractor_frame = block_frame_16k + 800
+            if f0method == "rmvpe":
+                f0_extractor_frame = (
+                    5120 * ((f0_extractor_frame - 1) // 5120 + 1) - WINDOW)
+            c, f = self.f0_gen.calculate(
+                input_wav[-f0_extractor_frame:], None,
+                self.f0_up_key - self.formant_shift, f0method, None)
+            shift = block_frame_16k // WINDOW
+            self.cache_pitch[:-shift] = self.cache_pitch[shift:]
+            self.cache_pitchf[:-shift] = self.cache_pitchf[shift:]
+            n_new = len(c) - 4  # drop 3 head + 1 tail frames (rtrvc.py:212)
+            self.cache_pitch[-n_new:] = c[3:-1]
+            self.cache_pitchf[-n_new:] = f[3:-1]
+            pitch = self.cache_pitch[-p_len:].astype(np.int32)
+            pitchf = (self.cache_pitchf[-p_len:] *
+                      (return_length2 / return_length)).astype(np.float32)
+
+        has_index = self.index is not None and self.index_rate > 0
+        if has_index:
+            vecs, sq = self.index.device_arrays()
+        else:
+            d = 256 if self.version == "v1" else 768
+            vecs, sq = jnp.zeros((1, d), jnp.float32), jnp.zeros((1,), jnp.float32)
+
+        graph = self._graph(L16, skip_head, return_length, return_length2,
+                            use_f0, has_index, protect_on)
+        self._step += 1
+        out = np.asarray(graph(
+            jnp.asarray(input_wav), jnp.asarray(pitch), jnp.asarray(pitchf),
+            vecs, sq, jnp.asarray(self.index_rate, jnp.float32),
+            jnp.asarray(protect, jnp.float32),
+            jax.random.PRNGKey(self._step)))
+        # formant-shift output resample (rtrvc.py:249-259)
+        upp_res = int(np.floor(factor * self.tgt_sr // 100))
+        if upp_res != self.tgt_sr // 100:
+            out = np.asarray(resample_poly(
+                jnp.asarray(out[: return_length * upp_res][None]),
+                upp_res * 100, self.tgt_sr))[0]
+        return out
+
+
+def phase_vocoder(a: np.ndarray, b: np.ndarray, fade_out: np.ndarray,
+                  fade_in: np.ndarray) -> np.ndarray:
+    """Phase-vocoder crossfade (reference gui.py:27-48)."""
+    window = np.sqrt(fade_out * fade_in)
+    fa = np.fft.rfft(a * window)
+    fb = np.fft.rfft(b * window)
+    absab = np.abs(fa) + np.abs(fb)
+    n = a.shape[0]
+    if n % 2 == 0:
+        absab[1:-1] *= 2
+    else:
+        absab[1:] *= 2
+    phia = np.angle(fa)
+    phib = np.angle(fb)
+    deltaphase = phib - phia
+    deltaphase = deltaphase - 2 * np.pi * np.floor(
+        deltaphase / 2 / np.pi + 0.5)
+    w = 2 * np.pi * np.arange(n // 2 + 1) + deltaphase
+    t = np.arange(n)[:, None] / n
+    return (a * (fade_out ** 2) + b * (fade_in ** 2)
+            + np.sum(absab * np.cos(w * t + phia), -1) * window / n)
+
+
+class StreamSession:
+    """Block-by-block streaming loop (gui.py audio_infer math, device-free).
+
+    feed(block) -> aligned output block of the same length, at `samplerate`.
+    """
+
+    def __init__(self, engine: RealtimeVC, samplerate: int = 48000,
+                 block_time: float = 0.25, crossfade_time: float = 0.05,
+                 extra_time: float = 2.5, f0method: str = "rmvpe",
+                 rms_mix_rate: float = 1.0, protect: float = 1.0,
+                 use_phase_vocoder: bool = False):
+        self.engine = engine
+        self.sr = samplerate
+        self.zc = samplerate // 100
+        self.block_frame = int(round(block_time * samplerate / self.zc)) * self.zc
+        self.block_frame_16k = 160 * self.block_frame // self.zc
+        self.crossfade_frame = int(
+            round(crossfade_time * samplerate / self.zc)) * self.zc
+        self.sola_buffer_frame = min(self.crossfade_frame, 4 * self.zc)
+        self.sola_search_frame = self.zc
+        self.extra_frame = int(round(extra_time * samplerate / self.zc)) * self.zc
+        self.f0method = f0method
+        self.rms_mix_rate = rms_mix_rate
+        self.protect = protect
+        self.use_pv = use_phase_vocoder
+
+        total = (self.extra_frame + self.crossfade_frame +
+                 self.sola_search_frame + self.block_frame)
+        self.input_wav = np.zeros(total, np.float32)
+        self.input_wav_res = np.zeros(160 * total // self.zc, np.float32)
+        self.sola_buffer = np.zeros(self.sola_buffer_frame, np.float32)
+        fade = np.sin(0.5 * np.pi * np.linspace(
+            0.0, 1.0, self.sola_buffer_frame)) ** 2
+        self.fade_in_window = fade.astype(np.float32)
+        self.fade_out_window = (1.0 - fade).astype(np.float32)
+        self.skip_head = self.extra_frame // self.zc
+        self.return_length = (self.block_frame + self.sola_buffer_frame +
+                              self.sola_search_frame) // self.zc
+        # engine output sr must match stream sr (gui resampler2 role)
+        self._out_resample = (self.engine.tgt_sr != samplerate)
+
+    def feed(self, block: np.ndarray) -> np.ndarray:
+        """Process one block (len == block_frame at stream sr)."""
+        assert len(block) == self.block_frame, \
+            f"block must be {self.block_frame} samples"
+        self.input_wav[:-self.block_frame] = self.input_wav[self.block_frame:]
+        self.input_wav[-self.block_frame:] = block
+        self.input_wav_res[:-self.block_frame_16k] = \
+            self.input_wav_res[self.block_frame_16k:]
+        # resample the freshest audio (one extra zc of context, gui.py:997)
+        seg = self.input_wav[-self.block_frame - 2 * self.zc:]
+        res = np.asarray(resample_poly(jnp.asarray(seg[None]), self.sr, SR))[0]
+        self.input_wav_res[-self.block_frame_16k - 160:] = \
+            res[160: 160 + self.block_frame_16k + 160]
+
+        infer_wav = self.engine.infer(
+            self.input_wav_res, self.block_frame_16k, self.skip_head,
+            self.return_length, self.f0method, self.protect)
+        if self._out_resample:
+            infer_wav = np.asarray(resample_poly(
+                jnp.asarray(infer_wav[None]), self.engine.tgt_sr, self.sr))[0]
+        need = (self.block_frame + self.sola_buffer_frame +
+                self.sola_search_frame)
+        if len(infer_wav) < need:
+            infer_wav = np.pad(infer_wav, (0, need - len(infer_wav)))
+
+        # RMS envelope mix (gui.py:1027-1056)
+        if self.rms_mix_rate < 1:
+            from tpu_rvc.audio.dsp import rms_envelope, _interp_to
+            src = self.input_wav[self.extra_frame:]
+            rms1 = _interp_to(rms_envelope(src[:len(infer_wav)], 4 * self.zc,
+                                           self.zc), len(infer_wav))
+            rms2 = np.maximum(_interp_to(
+                rms_envelope(infer_wav, 4 * self.zc, self.zc),
+                len(infer_wav)), 1e-3)
+            infer_wav = infer_wav * np.power(
+                rms1 / rms2, 1 - self.rms_mix_rate)
+
+        # SOLA alignment (gui.py:1058-1073)
+        n = self.sola_buffer_frame + self.sola_search_frame
+        conv_input = infer_wav[:n + 1]
+        cor_nom = np.correlate(conv_input, self.sola_buffer, mode="valid")
+        sq = np.convolve(conv_input ** 2,
+                         np.ones(self.sola_buffer_frame), mode="valid")
+        cor_den = np.sqrt(sq + 1e-8)
+        k = min(len(cor_nom), len(cor_den))
+        sola_offset = int(np.argmax(cor_nom[:k] / cor_den[:k]))
+        infer_wav = np.array(infer_wav[sola_offset:])  # own writable copy
+        if not self.use_pv:
+            infer_wav[: self.sola_buffer_frame] = (
+                infer_wav[: self.sola_buffer_frame] * self.fade_in_window +
+                self.sola_buffer * self.fade_out_window)
+        else:
+            infer_wav[: self.sola_buffer_frame] = phase_vocoder(
+                self.sola_buffer, infer_wav[: self.sola_buffer_frame],
+                self.fade_out_window, self.fade_in_window)
+        self.sola_buffer[:] = infer_wav[
+            self.block_frame: self.block_frame + self.sola_buffer_frame]
+        return infer_wav[: self.block_frame].copy()

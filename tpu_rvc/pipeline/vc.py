@@ -260,8 +260,19 @@ class VC:
         self.n_spk = synth.spk_embed_dim
         if hubert is None:
             if self._hubert is None:
-                from tpu_rvc.ckpt.hubert_loader import load_hubert_base
-                self._hubert = load_hubert_base(self.hubert_path, self.version)
+                if self.hubert_path == "random":
+                    # weightless smoke/bench mode (no assets available)
+                    import jax
+                    import jax.numpy as jnp
+                    from tpu_rvc.models.hubert import hubert_for_version
+                    hub = hubert_for_version(self.version)
+                    hv = hub.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 16000)))
+                    self._hubert = (hub, hv)
+                else:
+                    from tpu_rvc.ckpt.hubert_loader import load_hubert_base
+                    self._hubert = load_hubert_base(self.hubert_path,
+                                                    self.version)
             hubert, hubert_vars = self._hubert
         self.pipeline = Pipeline(
             self.tgt_sr, hubert=hubert, hubert_vars=hubert_vars,
