@@ -48,18 +48,18 @@ class CRePE(F0Predictor):
         wav_p = np.pad(wav, (pad, pad))
         n = 1 + (len(wav_p) - WINDOW) // self.hop_length
 
-        def run(w):
+        def run(variables, w):
             idx = (jnp.arange(n)[:, None] * self.hop_length +
                    jnp.arange(WINDOW)[None, :])
             frames = w[idx]
             mu = jnp.mean(frames, axis=1, keepdims=True)
             sd = jnp.maximum(jnp.std(frames, axis=1, keepdims=True), 1e-10)
             frames = (frames - mu) / sd
-            return self.model.apply(self.variables, frames)
+            return self.model.apply(variables, frames)
 
         if n not in self._jitted:
             self._jitted[n] = jax.jit(run)
-        return np.asarray(self._jitted[n](jnp.asarray(wav_p)))
+        return np.asarray(self._jitted[n](self.variables, jnp.asarray(wav_p)))
 
     def compute_f0(self, wav: np.ndarray, p_len: Optional[int] = None,
                    filter_radius=None) -> np.ndarray:

@@ -74,18 +74,19 @@ class RMVPE(F0Predictor):
     def _hidden(self, wav: np.ndarray) -> np.ndarray:
         T = wav.shape[-1]
 
-        def run(w):
+        def run(variables, w):
             mel = rmvpe_mel(w, self.sampling_rate, hop=self.hop_length)
             n_frames = mel.shape[-1]
             n_pad = 32 * ((n_frames - 1) // 32 + 1) - n_frames
             melp = jnp.pad(mel, ((0, 0), (0, 0), (0, n_pad)))
-            hidden = self.model.apply(self.variables, melp.astype(self.dtype))
+            hidden = self.model.apply(variables, melp.astype(self.dtype))
             return hidden[:, :n_frames].astype(jnp.float32)
 
         key = T
         if key not in self._jitted:
             self._jitted[key] = jax.jit(run)
-        return np.asarray(self._jitted[key](jnp.asarray(wav[None])))[0]
+        return np.asarray(self._jitted[key](self.variables,
+                                            jnp.asarray(wav[None])))[0]
 
     def compute_f0(self, wav: np.ndarray, p_len: Optional[int] = None,
                    filter_radius: Optional[Union[int, float]] = 0.03

@@ -77,9 +77,9 @@ class RealtimeVC:
         if key in self._graphs:
             return self._graphs[key]
 
-        def run(wav16, pitch, pitchf, index_vecs, index_sq, index_rate,
-                protect, noise_key):
-            feats = self.hubert.apply(self.hubert_vars,
+        def run(hubert_vars, synth_vars, wav16, pitch, pitchf, index_vecs,
+                index_sq, index_rate, protect, noise_key):
+            feats = self.hubert.apply(hubert_vars,
                                       wav16[None].astype(self.dtype))
             feats = jnp.concatenate([feats, feats[:, -1:]], axis=1)
             feats0 = feats
@@ -95,7 +95,7 @@ class RealtimeVC:
                 pitchff = jnp.where(pitchf > 0, 1.0, protect)[None, :, None]
                 feats = feats * pitchff + feats0 * (1 - pitchff)
             audio = self.synth.apply(
-                self.synth_vars, feats.astype(self.dtype),
+                synth_vars, feats.astype(self.dtype),
                 jnp.asarray([p_len]), jnp.asarray([0]),
                 pitch[None] if use_f0 else None,
                 pitchf[None].astype(self.dtype) if use_f0 else None,
@@ -157,6 +157,7 @@ class RealtimeVC:
                             use_f0, has_index, protect_on)
         self._step += 1
         out = np.asarray(graph(
+            self.hubert_vars, self.synth_vars,
             jnp.asarray(input_wav), jnp.asarray(pitch), jnp.asarray(pitchf),
             vecs, sq, jnp.asarray(self.index_rate, jnp.float32),
             jnp.asarray(protect, jnp.float32),

@@ -1,0 +1,293 @@
+"""UVR5 vocal/instrument separation pipeline
+(reference infer/modules/uvr5/vr.py `AudioPre` + lib_v5/spec_utils.py).
+
+Flow: per band (multirate pyramid from the model's param JSON) resample +
+STFT -> combine into one stacked spectrogram -> normalized sliding-window
+CascadedASPPNet inference (optional TTA: half-window-shifted second pass
+averaged in) -> mask -> instrument/vocal spectra -> per-band lp/hp filters
++ iSTFT + mirrored high-end restore -> sum.
+
+Host orchestrates; each window runs through one jitted model call (all
+windows share a shape, so a single compilation serves the whole file).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_rvc.audio.io import load_audio
+from tpu_rvc.ops.stft import stft as jstft, istft as jistft
+
+PARAMS_DIR = Path(__file__).parent.parent / "assets" / "uvr5_params"
+
+
+class ModelParameters:
+    """Band-pyramid parameters (reference model_param_init.py)."""
+
+    def __init__(self, config_path: str = "4band_v2.json"):
+        p = Path(config_path)
+        if not p.exists():
+            p = PARAMS_DIR / config_path
+        def int_keys(pairs):
+            return {int(k) if isinstance(k, str) and k.isdigit() else k: v
+                    for k, v in pairs}
+        self.param = json.loads(p.read_text(), object_pairs_hook=int_keys)
+        for k in ("mid_side", "mid_side_b", "mid_side_b2", "stereo_w",
+                  "stereo_n", "reverse"):
+            self.param.setdefault(k, False)
+
+
+def _stft_stereo(wave: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    """(2, T) -> (2, F, frames) complex (librosa.stft center=True parity)."""
+    pad = n_fft // 2
+    w = np.pad(wave, ((0, 0), (pad, pad)), mode="reflect")
+    spec = np.asarray(jstft(jnp.asarray(w), n_fft, hop))
+    return spec
+
+
+def _istft_stereo(spec: np.ndarray, hop: int) -> np.ndarray:
+    n_fft = (spec.shape[1] - 1) * 2
+    y = np.asarray(jistft(jnp.asarray(spec), n_fft, hop))
+    pad = n_fft // 2
+    return y[:, pad:-pad]
+
+
+def _resample(wave: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    from scipy.signal import resample_poly
+    g = math.gcd(sr_from, sr_to)
+    return resample_poly(wave, sr_to // g, sr_from // g, axis=-1).astype(
+        np.float32)
+
+
+def fft_lp_filter(spec, start, stop):
+    g = 1.0
+    spec = spec.copy()
+    for b in range(start, stop):
+        g -= 1 / (stop - start)
+        spec[:, b, :] = g * spec[:, b, :]
+    spec[:, stop:, :] *= 0
+    return spec
+
+
+def fft_hp_filter(spec, start, stop):
+    g = 1.0
+    spec = spec.copy()
+    for b in range(start, stop, -1):
+        g -= 1 / (start - stop)
+        spec[:, b, :] = g * spec[:, b, :]
+    spec[:, 0:stop + 1, :] *= 0
+    return spec
+
+
+def combine_spectrograms(specs: Dict[int, np.ndarray], mp: ModelParameters
+                         ) -> np.ndarray:
+    l = min(specs[i].shape[2] for i in specs)
+    out = np.zeros((2, mp.param["bins"] + 1, l), np.complex64)
+    offset = 0
+    bands_n = len(mp.param["band"])
+    for d in range(1, bands_n + 1):
+        bp = mp.param["band"][d]
+        h = bp["crop_stop"] - bp["crop_start"]
+        out[:, offset:offset + h, :l] = \
+            specs[d][:, bp["crop_start"]:bp["crop_stop"], :l]
+        offset += h
+    if mp.param["pre_filter_start"] > 0:
+        if bands_n == 1:
+            out = fft_lp_filter(out, mp.param["pre_filter_start"],
+                                mp.param["pre_filter_stop"])
+        else:
+            gp = 1.0
+            for b in range(mp.param["pre_filter_start"] + 1,
+                           mp.param["pre_filter_stop"]):
+                g = 10 ** (-(b - mp.param["pre_filter_start"]) * (3.5 - gp) / 20.0)
+                gp = g
+                out[:, b, :] *= g
+    return out
+
+
+def mirroring(mode: str, spec_m: np.ndarray, input_high_end: np.ndarray,
+              pre_filter_start: int) -> np.ndarray:
+    mirror = np.flip(np.abs(
+        spec_m[:, pre_filter_start - 10 - input_high_end.shape[1]:
+               pre_filter_start - 10, :]), 1)
+    if mode == "mirroring":
+        mirror = mirror * np.exp(1.0j * np.angle(input_high_end))
+        return np.where(np.abs(input_high_end) <= np.abs(mirror),
+                        input_high_end, mirror)
+    mi = np.multiply(mirror, input_high_end * 1.7)
+    return np.where(np.abs(input_high_end) <= np.abs(mi), input_high_end, mi)
+
+
+def cmb_spectrogram_to_wave(spec_m: np.ndarray, mp: ModelParameters,
+                            extra_bins_h: Optional[int] = None,
+                            extra_bins: Optional[np.ndarray] = None
+                            ) -> np.ndarray:
+    bands_n = len(mp.param["band"])
+    offset = 0
+    wave = None
+    for d in range(1, bands_n + 1):
+        bp = mp.param["band"][d]
+        spec_s = np.zeros((2, bp["n_fft"] // 2 + 1, spec_m.shape[2]),
+                          np.complex64)
+        h = bp["crop_stop"] - bp["crop_start"]
+        spec_s[:, bp["crop_start"]:bp["crop_stop"]] = \
+            spec_m[:, offset:offset + h]
+        offset += h
+        if d == bands_n:  # highest band
+            if extra_bins_h:
+                max_bin = bp["n_fft"] // 2
+                spec_s[:, max_bin - extra_bins_h:max_bin] = \
+                    extra_bins[:, :extra_bins_h]
+            if bp.get("hpf_start", 0) > 0:
+                spec_s = fft_hp_filter(spec_s, bp["hpf_start"],
+                                       bp["hpf_stop"] - 1)
+            band_wave = _istft_stereo(spec_s, bp["hl"])
+            wave = band_wave if bands_n == 1 else wave + band_wave
+        else:
+            sr_next = mp.param["band"][d + 1]["sr"]
+            if d == 1:
+                spec_s = fft_lp_filter(spec_s, bp["lpf_start"], bp["lpf_stop"])
+                wave = _resample(_istft_stereo(spec_s, bp["hl"]),
+                                 bp["sr"], sr_next)
+            else:
+                spec_s = fft_hp_filter(spec_s, bp["hpf_start"],
+                                       bp["hpf_stop"] - 1)
+                spec_s = fft_lp_filter(spec_s, bp["lpf_start"], bp["lpf_stop"])
+                w2 = wave[:, :] if wave is not None else 0
+                band_wave = _istft_stereo(spec_s, bp["hl"])
+                n = min(band_wave.shape[1], wave.shape[1])
+                wave = _resample(wave[:, :n] + band_wave[:, :n],
+                                 bp["sr"], sr_next)
+    return wave.T  # (T, 2)
+
+
+def make_padding(width: int, cropsize: int, offset: int):
+    left = offset
+    roi_size = cropsize - left * 2
+    if roi_size == 0:
+        roi_size = cropsize
+    right = roi_size - (width % roi_size) + left
+    return left, right, roi_size
+
+
+class UVR5Separator:
+    """AudioPre role (reference vr.py:18): load once, separate many."""
+
+    def __init__(self, model, variables, mp: ModelParameters,
+                 agg: float = 10.0, tta: bool = False,
+                 window_size: int = 512,
+                 high_end_process: str = "mirroring",
+                 is_reverse: bool = False, dtype=jnp.float32):
+        self.model = model
+        self.variables = variables
+        self.mp = mp
+        self.agg = agg
+        self.tta = tta
+        self.window_size = window_size
+        self.high_end_process = high_end_process
+        self.is_reverse = is_reverse  # DeEcho models predict the complement
+        self.dtype = dtype
+        self._jit = None
+
+    def _predict_window(self, window: np.ndarray, aggressiveness) -> np.ndarray:
+        # window: (2, F, win) -> model NHWC (1, F, win, 2)
+        if self._jit is None:
+            def f(variables, x, value):
+                xin = jnp.transpose(x, (1, 2, 0))[None].astype(self.dtype)
+                out = self.model.apply(
+                    variables, xin,
+                    aggressiveness=(value, aggressiveness[1]))
+                return jnp.transpose(out[0], (2, 0, 1)).astype(jnp.float32)
+            self._jit = jax.jit(f)
+        pred = np.asarray(self._jit(self.variables, jnp.asarray(window),
+                                    jnp.asarray(aggressiveness[0])))
+        off = self.model.offset
+        return pred[:, :, off:-off] if off > 0 else pred
+
+    def _inference(self, spec: np.ndarray, aggressiveness) -> Tuple:
+        """Sliding-window inference (reference uvr5_pack/utils.py:16)."""
+        x_mag = np.abs(spec)
+        x_phase = np.angle(spec)
+        coef = x_mag.max()
+        x_pre = x_mag / max(coef, 1e-8)
+        n_frame = x_pre.shape[2]
+        pad_l, pad_r, roi = make_padding(n_frame, self.window_size,
+                                         self.model.offset)
+
+        def run_pass(pad_l, pad_r, n_window):
+            xp = np.pad(x_pre, ((0, 0), (0, 0), (pad_l, pad_r)))
+            preds = []
+            for i in range(n_window):
+                s = i * roi
+                preds.append(self._predict_window(
+                    xp[:, :, s:s + self.window_size], aggressiveness))
+            return np.concatenate(preds, axis=2)
+
+        n_window = int(np.ceil(n_frame / roi))
+        pred = run_pass(pad_l, pad_r, n_window)[:, :, :n_frame]
+        if self.tta:
+            pred_tta = run_pass(pad_l + roi // 2, pad_r + roi // 2,
+                                n_window + 1)
+            pred = (pred + pred_tta[:, :, roi // 2: roi // 2 + n_frame]) * 0.5
+        return pred * coef, x_mag, np.exp(1.0j * x_phase)
+
+    def separate(self, music_file: str) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Returns (instrument (T,2), vocal (T,2), sr)."""
+        bands_n = len(self.mp.param["band"])
+        x_wave, x_spec = {}, {}
+        input_high_end = input_high_end_h = None
+        for d in range(bands_n, 0, -1):
+            bp = self.mp.param["band"][d]
+            if d == bands_n:
+                mono = load_audio(music_file, bp["sr"])
+                x_wave[d] = np.stack([mono, mono]) if mono.ndim == 1 else mono
+                # stereo path: load_audio currently downmixes; duplicate
+            else:
+                x_wave[d] = _resample(x_wave[d + 1],
+                                      self.mp.param["band"][d + 1]["sr"],
+                                      bp["sr"])
+            x_spec[d] = _stft_stereo(x_wave[d], bp["n_fft"], bp["hl"])
+            if d == bands_n and self.high_end_process != "none":
+                input_high_end_h = (bp["n_fft"] // 2 - bp["crop_stop"]) + (
+                    self.mp.param["pre_filter_stop"]
+                    - self.mp.param["pre_filter_start"])
+                input_high_end = x_spec[d][
+                    :, bp["n_fft"] // 2 - input_high_end_h: bp["n_fft"] // 2, :]
+
+        spec_m = combine_spectrograms(x_spec, self.mp)
+        aggressiveness = (self.agg / 100.0,
+                          self.mp.param["band"][1]["crop_stop"])
+        pred, x_mag, x_phase = self._inference(spec_m, aggressiveness)
+        y_spec_m = pred * x_phase        # instruments
+        v_spec_m = spec_m - y_spec_m     # vocals
+
+        def to_wave(spec):
+            if self.high_end_process.startswith("mirroring"):
+                he = mirroring(self.high_end_process, spec, input_high_end,
+                               self.mp.param["pre_filter_start"])
+                return cmb_spectrogram_to_wave(spec, self.mp,
+                                               input_high_end_h, he)
+            return cmb_spectrogram_to_wave(spec, self.mp)
+
+        ins = to_wave(y_spec_m)
+        voc = to_wave(v_spec_m)
+        if self.is_reverse:
+            ins, voc = voc, ins
+        return ins, voc, self.mp.param["sr"]
+
+
+def load_uvr5_model(model_path: str, param_name: str = "4band_v2.json",
+                    agg: float = 10.0, tta: bool = False) -> UVR5Separator:
+    """Load an HP2/HP3/HP5-style VR checkpoint (reference uvr5/modules.py:17)."""
+    from tpu_rvc.ckpt.uvr5_loader import load_cascaded_aspp
+    mp = ModelParameters(param_name)
+    model, variables = load_cascaded_aspp(model_path)
+    return UVR5Separator(model, variables, mp, agg=agg, tta=tta)

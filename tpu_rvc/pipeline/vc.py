@@ -73,12 +73,14 @@ class Pipeline:
 
         upsample = math.prod(self.synth.upsample_rates)
 
-        def run(audio, true_len, sid, pitch, pitchf, index_vecs, index_sq,
-                index_rate, protect, noise_key):
+        def run(hubert_vars, synth_vars, audio, true_len, sid, pitch,
+                pitchf, index_vecs, index_sq, index_rate, protect, noise_key):
             # audio: (bucket_len,) float32 @16k; pitch/pitchf: (p_len,)
+            # params are jit ARGUMENTS (closure capture would embed ~120MB
+            # of weights into the serialized HLO)
             pos = jnp.arange(bucket_len)
             padding_mask = pos >= true_len
-            feats = self.hubert.apply(self.hubert_vars,
+            feats = self.hubert.apply(hubert_vars,
                                       audio[None].astype(self.dtype),
                                       padding_mask[None])  # (1, F, D)
             feats0 = feats
@@ -95,7 +97,7 @@ class Pipeline:
                 feats = feats * pitchff + feats0 * (1 - pitchff)
             true_frames = jnp.minimum(true_len // WINDOW, p_len_static)
             audio_out = self.synth.apply(
-                self.synth_vars,
+                synth_vars,
                 feats.astype(self.dtype),
                 true_frames[None],
                 sid[None],
@@ -146,7 +148,8 @@ class Pipeline:
             sq = jnp.zeros((1,), jnp.float32)
 
         t0 = time.time()
-        out = graph(jnp.asarray(audio_pad), jnp.asarray(L), jnp.asarray(sid),
+        out = graph(self.hubert_vars, self.synth_vars,
+                    jnp.asarray(audio_pad), jnp.asarray(L), jnp.asarray(sid),
                     jnp.asarray(pit), jnp.asarray(pitf), vecs, sq,
                     jnp.asarray(index_rate, jnp.float32),
                     jnp.asarray(protect, jnp.float32),

@@ -84,14 +84,15 @@ def extract_features(exp_dir: str, version: str = "v2",
         L = len(wav)
         bucket = ((L - 1) // 16000 + 1) * 16000
         if bucket not in jitted:
-            def f(w, true_len):
+            def f(hv, w, true_len):
                 pm = jnp.arange(bucket) >= true_len
-                return hubert.apply(hubert_vars, w[None].astype(dtype),
+                return hubert.apply(hv, w[None].astype(dtype),
                                     pm[None]).astype(jnp.float32)
             jitted[bucket] = jax.jit(f)
         pad = np.zeros(bucket, np.float32)
         pad[:L] = wav
-        feats = np.asarray(jitted[bucket](jnp.asarray(pad), jnp.asarray(L)))[0]
+        feats = np.asarray(jitted[bucket](hubert_vars, jnp.asarray(pad),
+                                          jnp.asarray(L)))[0]
         n_true = (L - 400) // 320 + 1
         return feats[:n_true]
 
