@@ -1,0 +1,154 @@
+"""Tests for auxiliary subsystems: torchgate denoiser, i18n, asset
+checksums, the native ring buffer, the web API endpoints, and AOT export."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def tone(hz=440.0, sr=16000, dur=1.0):
+    t = np.arange(int(sr * dur)) / sr
+    return np.sin(2 * np.pi * hz * t).astype(np.float32)
+
+
+def test_torchgate_denoises_stationary_noise(rng):
+    from tpu_rvc.audio.torchgate import TorchGate
+    sr = 16000
+    sig = tone(440, sr) * 0.8
+    noise = rng.standard_normal(sr).astype(np.float32) * 0.05
+    noisy = sig + noise
+    tg = TorchGate(sr=sr)
+    out = tg(noisy, xn=noise)
+    assert out.shape == noisy.shape
+
+    def band_energy(x, lo, hi):
+        spec = np.abs(np.fft.rfft(x))
+        f = np.fft.rfftfreq(len(x), 1 / sr)
+        return spec[(f > lo) & (f < hi)].sum()
+
+    # compare on an aligned interior region (istft edges shrink slightly)
+    a, b = sr // 8, -sr // 8
+    noise_red = (band_energy(out[a:b], 3000, 7000) /
+                 band_energy(noisy[a:b], 3000, 7000))
+    tone_keep = (band_energy(out[a:b], 400, 480) /
+                 band_energy(noisy[a:b], 400, 480))
+    # (numerically parity-checked against the reference TorchGate: max abs
+    # err ~2e-7; these are behavioral sanity bounds)
+    assert noise_red < 0.3, noise_red          # out-of-band noise gated
+    assert tone_keep > 3 * noise_red, (tone_keep, noise_red)  # tone favored
+
+
+def test_torchgate_nonstationary(rng):
+    from tpu_rvc.audio.torchgate import TorchGate
+    tg = TorchGate(sr=16000, nonstationary=True)
+    x = tone() + rng.standard_normal(16000).astype(np.float32) * 0.05
+    out = tg(x)
+    assert out.shape == x.shape and np.isfinite(out).all()
+
+
+def test_i18n_fallback_and_scan(tmp_path):
+    from tpu_rvc.utils.i18n import I18nAuto, scan_i18n_keys
+    t = I18nAuto("xx_XX")  # unknown -> en_US fallback -> identity
+    assert t("Convert") == "Convert"
+    src = tmp_path / "m.py"
+    src.write_text('x = i18n("Hello")\ny = i18n("World")\n')
+    keys = scan_i18n_keys(str(tmp_path))
+    assert keys == {"Hello", "World"}
+
+
+def test_asset_checksum(tmp_path):
+    from tpu_rvc.utils.assets import sha256_file, load_checksums, check_model
+    p = tmp_path / "model.bin"
+    p.write_bytes(b"hello world")
+    h = sha256_file(str(p))
+    import hashlib
+    assert h == hashlib.sha256(b"hello world").hexdigest()
+    env = tmp_path / "sha256.env"
+    env.write_text(f"sha256_model.bin={h}\n")
+    sums = load_checksums(str(env))
+    assert sums == {"model.bin": h}
+    assert check_model(tmp_path, "model.bin", h)
+    assert not check_model(tmp_path, "model.bin", "0" * 64)
+
+
+def test_native_ring_buffer():
+    from tpu_rvc.audio.native_ring import NativeRingBuffer
+    rb = NativeRingBuffer(256)
+    rb.write(np.arange(100, dtype=np.float32))
+    assert rb.readable() == 100
+    out = rb.read(100)
+    np.testing.assert_array_equal(out, np.arange(100, dtype=np.float32))
+    out2 = rb.read(10)  # underrun -> zeros
+    assert np.all(out2 == 0)
+    assert rb.stats()["underruns"] >= 1
+
+
+def test_web_api_http(tmp_path):
+    """Spin the stdlib HTTP server and hit ckpt_show end-to-end."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "apps"))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import importlib
+    web = importlib.import_module("web")
+
+    # a small .pth to inspect
+    from tpu_rvc.ckpt.torch_pth import save_pth
+    p = str(tmp_path / "m.pth")
+    save_pth({"weight": {"w": np.zeros(3, np.float32)}, "sr": "40k",
+              "f0": 1, "version": "v2", "info": "api-test",
+              "config": [1, 2, 3]}, p)
+
+    api = web.Api()
+    import http.server
+    import socketserver
+    port = 7899
+    th = threading.Thread(target=web.serve_http, args=(api, "127.0.0.1", port),
+                          daemon=True)
+    th.start()
+    import time
+    time.sleep(0.5)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/api/ckpt_show",
+        data=json.dumps({"path": p}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=10) as r:
+        out = json.loads(r.read())
+    assert out["ok"] and out["result"]["info"] == "api-test"
+    # endpoint listing
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=10) as r:
+        listing = json.loads(r.read())
+    assert "infer_convert" in listing["endpoints"]
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    from tpu_rvc.models.synthesizer import Synthesizer
+    from tpu_rvc.ckpt.export import save_exported, load_exported
+    cfg = dict(spec_channels=129, segment_size=640, inter_channels=32,
+               hidden_channels=32, filter_channels=64, n_heads=2, n_layers=1,
+               kernel_size=3, p_dropout=0.0, resblock="1",
+               resblock_kernel_sizes=(3,),
+               resblock_dilation_sizes=((1, 3, 5),),
+               upsample_rates=(10, 16), upsample_initial_channel=32,
+               upsample_kernel_sizes=(20, 32), spk_embed_dim=2,
+               gin_channels=16, sr=16000, encoder_dim=64, use_f0=True,
+               weight_norm=False)
+    syn = Synthesizer(**cfg)
+    T = 20
+    v = syn.init({"params": jax.random.PRNGKey(1),
+                  "noise": jax.random.PRNGKey(2)},
+                 jnp.zeros((1, T, 64)), jnp.asarray([T]), jnp.asarray([0]),
+                 jnp.zeros((1, T), jnp.int32), jnp.zeros((1, T)),
+                 method=Synthesizer.infer)
+    p = save_exported(syn, v, str(tmp_path / "syn.tpuexport"), T=T)
+    le = load_exported(p)
+    out = le(jnp.zeros((1, T, 64)), jnp.asarray([T]),
+             jnp.zeros((1,), jnp.int32), jnp.zeros((1, T), jnp.int32),
+             jnp.zeros((1, T)), jax.random.PRNGKey(0))
+    assert np.asarray(out).shape == (1, T * 160, 1)

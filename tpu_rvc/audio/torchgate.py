@@ -22,11 +22,12 @@ import numpy as np
 from tpu_rvc.ops.stft import stft as _stft, istft as _istft, hann_window
 
 
-def _amp_to_db(x: jax.Array, eps: float = 1e-12, top_db: float = 40.0) -> jax.Array:
-    """Reference gui/utils.py amp_to_db: 20*log10(|x|), floored at max-top_db."""
-    mag = jnp.abs(x)
-    db = 20.0 * jnp.log10(jnp.maximum(mag, eps))
-    return jnp.maximum(db, jnp.max(db, axis=(-2, -1), keepdims=True) - top_db)
+def _amp_to_db(x: jax.Array, eps: float = 2.220446049250313e-16,
+               top_db: float = 40.0) -> jax.Array:
+    """Reference gui/utils.py amp_to_db: 20*log10(|x| + eps), floored
+    per-frequency-row at (row max over time) - top_db."""
+    db = 20.0 * jnp.log10(jnp.abs(x) + eps)
+    return jnp.maximum(db, jnp.max(db, axis=-1, keepdims=True) - top_db)
 
 
 def _temperature_sigmoid(x, x0, temp):

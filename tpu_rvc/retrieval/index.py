@@ -70,7 +70,14 @@ class FeatureIndex:
         return self.vectors.shape[1]
 
     def device_arrays(self) -> Tuple[jax.Array, jax.Array]:
-        return jnp.asarray(self.vectors), jnp.asarray(self.norms_sq)
+        """HBM-resident copies, uploaded once and cached (the index is
+        queried every chunk; re-uploading ~30MB per call dominates latency
+        on remote-attached devices)."""
+        cached = getattr(self, "_device_cache", None)
+        if cached is None:
+            cached = (jnp.asarray(self.vectors), jnp.asarray(self.norms_sq))
+            object.__setattr__(self, "_device_cache", cached)
+        return cached
 
     def save(self, path: str, write_big_npy: bool = False) -> None:
         np.savez(path if path.endswith(".npz") else path + ".npz",
