@@ -149,3 +149,38 @@ def test_rmvpe_estimator_end_to_end_tone():
     f0 = est.compute_f0(tone(220.0), p_len=100)
     assert f0.shape == (100,)
     assert np.isfinite(f0).all()
+
+
+def test_device_f0_matches_host_path():
+    """pm_f0_device must reproduce the host pm -> interpolate ->
+    post_process chain."""
+    import jax.numpy as jnp
+    from tpu_rvc.f0.device import (pm_f0_device, interpolate_f0_jax,
+                                   post_process_jax)
+
+    # interpolation parity on a gappy track
+    f0 = np.array([0, 0, 100, 0, 0, 0, 200, 0, 150, 0], np.float32)
+    host, _ = interpolate_f0(f0)
+    dev = np.asarray(interpolate_f0_jax(jnp.asarray(f0)))
+    np.testing.assert_allclose(dev, host, rtol=1e-6)
+    # all-unvoiced passthrough
+    assert np.all(np.asarray(interpolate_f0_jax(jnp.zeros(8))) == 0)
+
+    # quantization parity
+    f0c = np.linspace(0, 900, 64).astype(np.float32)
+    c_host, f_host = post_process(100, f0c.copy(), 5, 0)
+    c_dev, f_dev = post_process_jax(jnp.asarray(f0c), jnp.asarray(5.0))
+    np.testing.assert_array_equal(np.asarray(c_dev), c_host)
+    np.testing.assert_allclose(np.asarray(f_dev), f_host, rtol=1e-5)
+
+    # full device chain vs host chain on a real tone
+    wav = tone(220.0)
+    p_len = 100
+    gen = Generator(window=160, sr=16000)
+    c_h, f_h = gen.calculate(wav, p_len, 2, "pm", None)
+    c_d, f_d = pm_f0_device(jnp.asarray(wav), p_len, jnp.asarray(2.0))
+    c_d, f_d = np.asarray(c_d), np.asarray(f_d)
+    assert c_d.shape == (p_len,)
+    # voiced interior must agree closely (edges may differ by a frame)
+    np.testing.assert_allclose(f_d[10:90], f_h[10:90], rtol=2e-3)
+    assert (np.abs(c_d[10:90].astype(int) - c_h[10:90].astype(int)) <= 1).all()

@@ -137,7 +137,7 @@ class ConvTranspose1d(nn.Module):
                 (self.features,),
             )
         dt = self.dtype or x.dtype
-        return conv_ops.conv_transpose1d(
+        return conv_ops.conv_transpose1d_poly(
             x.astype(dt), w.astype(dt), None if b is None else b.astype(dt),
             stride=self.stride, padding=self.padding,
         )

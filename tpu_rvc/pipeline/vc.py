@@ -113,33 +113,35 @@ class Pipeline:
         return jitted
 
     # ------------------------------------------------------------------
-    def vc_chunk(self, audio_chunk: np.ndarray, sid: int,
-                 pitch: Optional[np.ndarray], pitchf: Optional[np.ndarray],
+    def vc_chunk(self, audio_chunk, sid: int,
+                 pitch, pitchf,
                  index: Optional[FeatureIndex], index_rate: float,
                  protect: float, times: List[float],
-                 noise_seed: int = 0) -> np.ndarray:
-        """Convert one 16 kHz chunk -> target-sr audio (reference vc,
-        pipeline.py:76)."""
+                 noise_seed: int = 0):
+        """Convert one 16 kHz chunk -> target-sr audio ON DEVICE (reference
+        vc, pipeline.py:76).  audio_chunk / pitch / pitchf may be numpy or
+        device arrays; the return value stays on device (callers concatenate
+        chunks and fetch once)."""
         use_f0 = pitch is not None
         has_index = index is not None and index_rate > 0
         protect_on = use_f0 and protect < 0.5
-        L = len(audio_chunk)
+        L = int(audio_chunk.shape[0])
         bucket = _bucket(L)
         graph = self._chunk_graph(bucket, use_f0, has_index, protect_on)
 
-        audio_pad = np.zeros(bucket, np.float32)
-        audio_pad[:L] = audio_chunk
+        audio_dev = jnp.asarray(audio_chunk, jnp.float32)
+        audio_pad = jnp.zeros(bucket, jnp.float32).at[:L].set(audio_dev)
         p_len_static = min(bucket // WINDOW,
                            2 * ((bucket - 400) // 320 + 1))
         if use_f0:
-            pit = np.zeros(p_len_static, np.int32)
-            pitf = np.zeros(p_len_static, np.float32)
-            n = min(p_len_static, len(pitch))
-            pit[:n] = pitch[:n]
-            pitf[:n] = pitchf[:n]
+            pit = jnp.zeros(p_len_static, jnp.int32)
+            pitf = jnp.zeros(p_len_static, jnp.float32)
+            n = min(p_len_static, int(pitch.shape[0]))
+            pit = pit.at[:n].set(jnp.asarray(pitch[:n], jnp.int32))
+            pitf = pitf.at[:n].set(jnp.asarray(pitchf[:n], jnp.float32))
         else:
-            pit = np.zeros(p_len_static, np.int32)
-            pitf = np.zeros(p_len_static, np.float32)
+            pit = jnp.zeros(p_len_static, jnp.int32)
+            pitf = jnp.zeros(p_len_static, jnp.float32)
         if has_index:
             vecs, sq = index.device_arrays()
         else:
@@ -149,15 +151,13 @@ class Pipeline:
 
         t0 = time.time()
         out = graph(self.hubert_vars, self.synth_vars,
-                    jnp.asarray(audio_pad), jnp.asarray(L), jnp.asarray(sid),
-                    jnp.asarray(pit), jnp.asarray(pitf), vecs, sq,
+                    audio_pad, jnp.asarray(L), jnp.asarray(sid),
+                    pit, pitf, vecs, sq,
                     jnp.asarray(index_rate, jnp.float32),
                     jnp.asarray(protect, jnp.float32),
                     jax.random.PRNGKey(noise_seed))
-        out = np.asarray(out)
         times[2] += time.time() - t0
-        # trim to the chunk's true frame count
-        hop_tgt = self.tgt_sr // 100 if self.tgt_sr % 100 == 0 else None
+        # trim to the chunk's true frame count (device slice, no transfer)
         true_frames = min(L // WINDOW, p_len_static)
         upsample = math.prod(self.synth.upsample_rates)
         return out[: true_frames * upsample]
@@ -187,6 +187,7 @@ class Pipeline:
         audio_pad = np.pad(audio, (self.t_pad, self.t_pad), mode="reflect")
         p_len = audio_pad.shape[0] // WINDOW
 
+        audio_pad_dev = jnp.asarray(audio_pad)  # single H2D upload
         pitch = pitchf = None
         if if_f0:
             t0 = time.time()
@@ -194,33 +195,47 @@ class Pipeline:
                 # precomputed track passed through f0_method
                 # (reference pipeline.py:268; used by model hashing)
                 pitch, pitchf = f0_method
+                pitch = jnp.asarray(np.asarray(pitch)[:p_len], jnp.int32)
+                pitchf = jnp.asarray(np.asarray(pitchf,
+                                                np.float32)[:p_len])
+            elif f0_method == "pm" and f0_file is None:
+                # fully device-resident f0 (no host round trip)
+                from tpu_rvc.f0.device import pm_f0_device
+                key = (p_len, "pm_dev")
+                if key not in self._graphs:
+                    self._graphs[key] = jax.jit(
+                        lambda w, k: pm_f0_device(w, p_len, k))
+                pitch, pitchf = self._graphs[key](
+                    audio_pad_dev, jnp.asarray(float(f0_up_key)))
             else:
-                pitch, pitchf = self.f0_gen.calculate(
+                c, f = self.f0_gen.calculate(
                     audio_pad, p_len, f0_up_key, f0_method, filter_radius,
                     f0_file)
-            pitch = np.asarray(pitch)[:p_len]
-            pitchf = np.asarray(pitchf, np.float32)[:p_len]
+                pitch = jnp.asarray(np.asarray(c)[:p_len], jnp.int32)
+                pitchf = jnp.asarray(np.asarray(f, np.float32)[:p_len])
             times[1] += time.time() - t0
 
-        audio_opt: List[np.ndarray] = []
+        audio_opt = []
         s, t = 0, None
         for t in opt_ts:
             t = t // WINDOW * WINDOW
-            chunk = audio_pad[s: t + self.t_pad2 + WINDOW]
+            chunk = audio_pad_dev[s: t + self.t_pad2 + WINDOW]
             pi = pitch[s // WINDOW: (t + self.t_pad2) // WINDOW] if if_f0 else None
             pf = pitchf[s // WINDOW: (t + self.t_pad2) // WINDOW] if if_f0 else None
             out = self.vc_chunk(chunk, sid, pi, pf, index, index_rate,
                                 protect, times, noise_seed)
             audio_opt.append(out[self.t_pad_tgt: -self.t_pad_tgt])
             s = t
-        chunk = audio_pad[t:] if t is not None else audio_pad
+        chunk = audio_pad_dev[t:] if t is not None else audio_pad_dev
         pi = (pitch[t // WINDOW:] if t is not None else pitch) if if_f0 else None
         pf = (pitchf[t // WINDOW:] if t is not None else pitchf) if if_f0 else None
         out = self.vc_chunk(chunk, sid, pi, pf, index, index_rate, protect,
                             times, noise_seed)
         audio_opt.append(out[self.t_pad_tgt: -self.t_pad_tgt])
 
-        result = np.concatenate(audio_opt)
+        # single D2H fetch of the whole utterance
+        result = np.asarray(jnp.concatenate(audio_opt)) \
+            if len(audio_opt) > 1 else np.asarray(audio_opt[0])
         if rms_mix_rate != 1:
             result = change_rms(audio, SR, result, self.tgt_sr, rms_mix_rate)
         if self.tgt_sr != resample_sr and resample_sr >= SR:
