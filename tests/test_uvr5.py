@@ -108,3 +108,34 @@ def test_separator_end_to_end(tmp_path):
     assert out_sr == sr
     assert ins.shape[1] == 2 and voc.shape[1] == 2
     assert np.isfinite(ins).all() and np.isfinite(voc).all()
+
+
+@pytest.mark.skipif(not ref_available, reason="reference repo not available")
+def test_deecho_cascadednet_parity():
+    from infer.lib.uvr5_pack.lib_v5.nets import CascadedNet as RefDeEcho
+    from tpu_rvc.models.uvr5 import CascadedNetDeEcho
+    from tpu_rvc.ckpt.uvr5_loader import deecho_params_from_torch
+
+    n_fft = 256
+    torch.manual_seed(1)
+    ref = RefDeEcho(n_fft, nout=16, nout_lstm=32).eval()
+    for m in ref.modules():
+        if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+            m.running_mean.uniform_(-0.2, 0.2)
+            m.running_var.uniform_(0.5, 2.0)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = deecho_params_from_torch(sd)
+    ours = CascadedNetDeEcho(n_fft=n_fft, nout=16, nout_lstm=32)
+
+    rng = np.random.default_rng(3)
+    F, T = n_fft // 2 + 1, 64
+    x = np.abs(rng.standard_normal((1, 2, F, T))).astype(np.float32)
+    with torch.no_grad():
+        mask_ref = ref(torch.from_numpy(x)).numpy()
+    xin = jnp.asarray(np.transpose(x[0], (1, 2, 0))[None])
+    out = ours.apply({"params": params}, xin)
+    # ours returns mask*mix; reference returns the mask
+    mask_ours = np.transpose(np.asarray(out)[0], (2, 0, 1))[None] / \
+        np.maximum(x, 1e-9)
+    err = np.abs(mask_ours - mask_ref).max()
+    assert err < 5e-4, f"DeEcho mask mismatch {err}"

@@ -217,3 +217,188 @@ class CascadedASPPNet(nn.Module):
             highm = mask[:, split_bin:] ** (1 + value)
             mask = jnp.concatenate([lowm, highm], axis=1)
         return mask * mix
+
+
+# ---------------------------------------------------------------------------
+# DeEcho / DeReverb variant: CascadedNet with LSTM bottlenecks
+# (reference nets.py:47 + layers.py; serves VR-DeEchoNormal/Aggressive/
+# DeReverb weights)
+# ---------------------------------------------------------------------------
+
+
+def _lstm_scan(x, wi, bi, wh, bh, reverse=False):
+    """Single-direction LSTM (T, B, in) -> (T, B, H); torch gate order
+    i, f, g, o."""
+    H = wh.shape[0]  # wh: (H, 4H)
+
+    def cell(carry, xt):
+        h, c = carry
+        gates = xt @ wi + bi + h @ wh + bh  # (B, 4H)
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    B = x.shape[1]
+    h0 = jnp.zeros((B, H), x.dtype)
+    (_, _), ys = jax.lax.scan(cell, (h0, h0), x, reverse=reverse)
+    return ys
+
+
+class LSTMModule(nn.Module):
+    """1x1-conv squeeze -> BiLSTM over time (bins as features) -> dense
+    (reference layers.py:109)."""
+
+    nin_lstm: int
+    nout_lstm: int
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, F, T, C) NHWC
+        B, F_, T, C = x.shape
+        h = Conv2DBNActiv(1, 1, 1, 0, name="conv")(x)[..., 0]  # (B, F, T)
+        h = jnp.transpose(h, (2, 0, 1))  # (T, B, F)
+        H = self.nout_lstm // 2
+        shapes = dict(wi=(self.nin_lstm, 4 * H), wh=(H, 4 * H),
+                      bi=(4 * H,), bh=(4 * H,))
+        p = {f"{n}{s}": self.param(
+                f"{n}{s}", nn.initializers.uniform(scale=0.06), shape)
+             for s in ("", "_rev") for n, shape in shapes.items()}
+        fwd = _lstm_scan(h, p["wi"], p["bi"], p["wh"], p["bh"])
+        bwd = _lstm_scan(h, p["wi_rev"], p["bi_rev"], p["wh_rev"],
+                         p["bh_rev"], reverse=True)
+        h = jnp.concatenate([fwd, bwd], axis=-1)  # (T, B, nout_lstm)
+        wd = self.param("dense_w", nn.initializers.xavier_uniform(),
+                        (self.nout_lstm, self.nin_lstm))
+        bd = self.param("dense_b", nn.initializers.zeros, (self.nin_lstm,))
+        h = h @ wd.astype(h.dtype) + bd.astype(h.dtype)
+        h = FoldedBN(self.nin_lstm, name="dense_bn")(h)
+        h = jax.nn.relu(h)
+        # (T, B, F) -> (B, F, T, 1)
+        return jnp.transpose(h, (1, 2, 0))[..., None]
+
+
+class ASPPModuleNew(nn.Module):
+    """Dense (non-separable) ASPP with paired dilations (layers.py:70)."""
+
+    nout: int
+    dilations: Tuple[Tuple[int, int], ...] = ((4, 2), (8, 4), (12, 6))
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        pooled = jnp.mean(x, axis=1, keepdims=True)
+        feat1 = Conv2DBNActiv(self.nout, 1, 1, 0, name="conv1")(pooled)
+        feat1 = _bilinear_resize_ac(feat1, H, W)
+        feat2 = Conv2DBNActiv(self.nout, 1, 1, 0, name="conv2")(x)
+        feats = [feat1, feat2]
+        for i, d in enumerate(self.dilations):
+            dd = d if isinstance(d, (tuple, list)) else (d, d)
+            w = self.param(f"conv{i + 3}_w", nn.initializers.he_normal(),
+                           (3, 3, C, self.nout))
+            y = jax.lax.conv_general_dilated(
+                x, w.astype(x.dtype), window_strides=(1, 1),
+                padding=[(dd[0], dd[0]), (dd[1], dd[1])],
+                rhs_dilation=tuple(dd),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = FoldedBN(self.nout, name=f"conv{i + 3}_bn")(y)
+            feats.append(jax.nn.relu(y))
+        out = jnp.concatenate(feats, axis=-1)
+        return Conv2DBNActiv(self.nout, 1, 1, 0, name="bottleneck")(out)
+
+
+class EncoderNew(nn.Module):
+    """conv(stride) -> conv(1), single output (reference layers.py:30)."""
+
+    nout: int
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        h = Conv2DBNActiv(self.nout, 3, self.stride, 1, activ="leaky",
+                          name="conv1")(x)
+        return Conv2DBNActiv(self.nout, 3, 1, 1, activ="leaky",
+                             name="conv2")(h)
+
+
+class BaseNetNew(nn.Module):
+    """BaseNet for the DeEcho CascadedNet (reference nets.py:8): 4 stride-2
+    encoders, dense ASPP with paired dilations, decoders, and a BiLSTM
+    bottleneck concatenated before the last decoder."""
+
+    nout: int
+    nin_lstm: int
+    nout_lstm: int
+    dilations: Tuple[Tuple[int, int], ...] = ((4, 2), (8, 4), (12, 6))
+
+    @nn.compact
+    def __call__(self, x):
+        e1 = Conv2DBNActiv(self.nout, 3, 1, 1, name="enc1")(x)
+        e2 = EncoderNew(self.nout * 2, name="enc2")(e1)
+        e3 = EncoderNew(self.nout * 4, name="enc3")(e2)
+        e4 = EncoderNew(self.nout * 6, name="enc4")(e3)
+        e5 = EncoderNew(self.nout * 8, name="enc5")(e4)
+        h = ASPPModuleNew(self.nout * 8, self.dilations, name="aspp")(e5)
+        h = DecoderBlock(self.nout * 6, name="dec4")(h, e4)
+        h = DecoderBlock(self.nout * 4, name="dec3")(h, e3)
+        h = DecoderBlock(self.nout * 2, name="dec2")(h, e2)
+        lstm_out = LSTMModule(self.nin_lstm, self.nout_lstm,
+                              name="lstm_dec2")(h)
+        h = jnp.concatenate([h, lstm_out], axis=-1)
+        h = DecoderBlock(self.nout, name="dec1")(h, e1)
+        return h
+
+
+class CascadedNetDeEcho(nn.Module):
+    """DeEcho/DeReverb separator (reference nets.py:47 CascadedNet).
+    Input (B, F, T, 2) magnitude; output mask, same shape."""
+
+    n_fft: int
+    nout: int = 32
+    nout_lstm: int = 128
+    offset: int = 64
+
+    @nn.compact
+    def __call__(self, x, aggressiveness: Optional[Tuple[float, int]] = None):
+        max_bin = self.n_fft // 2
+        output_bin = self.n_fft // 2 + 1
+        nin_lstm = max_bin // 2
+        mix = x
+        x = x[:, :max_bin]
+        bandw = x.shape[1] // 2
+        l1_in, h1_in = x[:, :bandw], x[:, bandw:]
+        l1 = BaseNetNew(self.nout // 2, nin_lstm // 2, self.nout_lstm,
+                        name="stg1_low_base")(l1_in)
+        l1 = Conv2DBNActiv(self.nout // 4, 1, 1, 0, name="stg1_low_conv")(l1)
+        h1 = BaseNetNew(self.nout // 4, nin_lstm // 2, self.nout_lstm // 2,
+                        name="stg1_high")(h1_in)
+        aux1 = jnp.concatenate([l1, h1], axis=1)
+
+        l2_in = jnp.concatenate([l1_in, l1], axis=-1)
+        h2_in = jnp.concatenate([h1_in, h1], axis=-1)
+        l2 = BaseNetNew(self.nout, nin_lstm // 2, self.nout_lstm,
+                        name="stg2_low_base")(l2_in)
+        l2 = Conv2DBNActiv(self.nout // 2, 1, 1, 0, name="stg2_low_conv")(l2)
+        h2 = BaseNetNew(self.nout // 2, nin_lstm // 2, self.nout_lstm // 2,
+                        name="stg2_high")(h2_in)
+        aux2 = jnp.concatenate([l2, h2], axis=1)
+
+        f3_in = jnp.concatenate([x, aux1, aux2], axis=-1)
+        f3 = BaseNetNew(self.nout, nin_lstm, self.nout_lstm,
+                        name="stg3_full")(f3_in)
+        w_out = self.param("out_w", nn.initializers.he_normal(),
+                           (1, 1, self.nout, 2))
+        mask = jax.nn.sigmoid(_conv2d(f3, w_out, pad=(0, 0)))
+        pad_f = output_bin - mask.shape[1]
+        if pad_f > 0:
+            mask = jnp.concatenate(
+                [mask, jnp.repeat(mask[:, -1:], pad_f, axis=1)], axis=1)
+        if aggressiveness is not None:
+            value, split_bin = aggressiveness
+            lowm = mask[:, :split_bin] ** (1 + value / 3)
+            highm = mask[:, split_bin:] ** (1 + value)
+            mask = jnp.concatenate([lowm, highm], axis=1)
+        return mask * mix

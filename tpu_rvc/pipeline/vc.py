@@ -113,6 +113,47 @@ class Pipeline:
         return jitted
 
     # ------------------------------------------------------------------
+    def _full_graph(self, L: int, use_f0: bool, has_index: bool,
+                    protect_on: bool):
+        """ONE jitted program for the common single-chunk utterance:
+        device-side f0 + conversion + pad trimming.  Minimizes dispatch
+        round-trips (each costs tunnel RTT on remote-attached devices):
+        one upload, one call, one fetch."""
+        key = ("full", L, use_f0, has_index, protect_on)
+        if key in self._graphs:
+            return self._graphs[key]
+        bucket = _bucket(L)
+        chunk_run = None  # reuse the chunk graph body un-jitted
+        inner = self._chunk_graph(bucket, use_f0, has_index, protect_on)
+        p_len = L // WINDOW
+        upsample = math.prod(self.synth.upsample_rates)
+        p_len_static = min(bucket // WINDOW, 2 * ((bucket - 400) // 320 + 1))
+        true_frames = min(p_len, p_len_static)
+
+        def run_full(hubert_vars, synth_vars, audio, up_key, sid,
+                     index_vecs, index_sq, index_rate, protect, noise_key):
+            if use_f0:
+                from tpu_rvc.f0.device import pm_f0_device
+                pitch, pitchf = pm_f0_device(audio, p_len, up_key)
+                pit = jnp.zeros(p_len_static, jnp.int32).at[:p_len].set(
+                    pitch[:p_len_static])
+                pitf = jnp.zeros(p_len_static, jnp.float32).at[:p_len].set(
+                    pitchf[:p_len_static])
+            else:
+                pit = jnp.zeros(p_len_static, jnp.int32)
+                pitf = jnp.zeros(p_len_static, jnp.float32)
+            audio_b = jnp.zeros(bucket, jnp.float32).at[:L].set(audio)
+            out = inner.__wrapped__(
+                hubert_vars, synth_vars, audio_b, jnp.asarray(L), sid,
+                pit, pitf, index_vecs, index_sq, index_rate, protect,
+                noise_key)
+            out = out[: true_frames * upsample]
+            return out[self.t_pad_tgt: out.shape[0] - self.t_pad_tgt]
+
+        self._graphs[key] = jax.jit(run_full)
+        return self._graphs[key]
+
+    # ------------------------------------------------------------------
     def vc_chunk(self, audio_chunk, sid: int,
                  pitch, pitchf,
                  index: Optional[FeatureIndex], index_rate: float,
@@ -186,6 +227,41 @@ class Pipeline:
 
         audio_pad = np.pad(audio, (self.t_pad, self.t_pad), mode="reflect")
         p_len = audio_pad.shape[0] // WINDOW
+
+        # fused fast path: single chunk + device-side f0 -> ONE device call
+        if (not opt_ts and f0_file is None and
+                (if_f0 == 0 or (if_f0 == 1 and f0_method == "pm"))):
+            use_f0 = bool(if_f0)
+            has_index = index is not None and index_rate > 0
+            protect_on = use_f0 and protect < 0.5
+            if has_index:
+                vecs, sq = index.device_arrays()
+            else:
+                d = 256 if self.version == "v1" else 768
+                vecs, sq = (jnp.zeros((1, d), jnp.float32),
+                            jnp.zeros((1,), jnp.float32))
+            L = audio_pad.shape[0]
+            graph = self._full_graph(L, use_f0, has_index, protect_on)
+            t0 = time.time()
+            out = graph(self.hubert_vars, self.synth_vars,
+                        jnp.asarray(audio_pad),
+                        jnp.asarray(float(f0_up_key)), jnp.asarray(sid),
+                        vecs, sq, jnp.asarray(index_rate, jnp.float32),
+                        jnp.asarray(protect, jnp.float32),
+                        jax.random.PRNGKey(noise_seed))
+            result = np.asarray(out)
+            times[2] += time.time() - t0
+            if rms_mix_rate != 1:
+                result = change_rms(audio, SR, result, self.tgt_sr,
+                                    rms_mix_rate)
+            if self.tgt_sr != resample_sr and resample_sr >= SR:
+                result = np.asarray(resample_poly(
+                    jnp.asarray(result[None]), self.tgt_sr, resample_sr))[0]
+            audio_max = np.abs(result).max() / 0.99
+            max_int16 = 32768.0
+            if audio_max > 1:
+                max_int16 /= audio_max
+            return (result * max_int16).astype(np.int16)
 
         audio_pad_dev = jnp.asarray(audio_pad)  # single H2D upload
         pitch = pitchf = None
