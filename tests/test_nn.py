@@ -150,3 +150,35 @@ def test_text_encoder_skip_head(rng):
     assert m2.shape == (B, T - 8, 192)
     np.testing.assert_allclose(np.asarray(m[:, 8:]), np.asarray(m2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_banded_rel_attention_matches_padded_path(rng):
+    """The banded scatter/gather fast path must equal the Shaw pad/reshape
+    formulation bit-for-bit (the padded table is zero outside the band)."""
+    import flax.linen as fnn
+    B, T, C, W = 1, 50, 64, 10
+    m = MultiHeadRelAttention(C, C, 2, W)
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y_banded = m.apply(params, x)
+
+    # padded-path oracle computed by hand from the same params
+    p = params["params"]
+    def conv1x1(t, name):
+        return t @ p[name]["kernel"][0] + p[name]["bias"]
+    q = conv1x1(x, "conv_q").reshape(B, T, 2, 32).transpose(0, 2, 1, 3)
+    k = conv1x1(x, "conv_k").reshape(B, T, 2, 32).transpose(0, 2, 1, 3)
+    v = conv1x1(x, "conv_v").reshape(B, T, 2, 32).transpose(0, 2, 1, 3)
+    scale = 1 / np.sqrt(32)
+    scores = jnp.einsum("bhtd,bhsd->bhts", q * scale, k)
+    kr = window_relative_embeddings(p["emb_rel_k"], T, W)
+    scores = scores + relative_to_absolute(
+        jnp.einsum("bhtd,gmd->bhtm", q * scale, kr))
+    pr = jax.nn.softmax(scores, -1)
+    out = jnp.einsum("bhts,bhsd->bhtd", pr, v)
+    vr = window_relative_embeddings(p["emb_rel_v"], T, W)
+    out = out + jnp.einsum("bhtm,gmd->bhtd", absolute_to_relative(pr), vr)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
+    y_oracle = conv1x1(out, "conv_o")
+    np.testing.assert_allclose(np.asarray(y_banded), np.asarray(y_oracle),
+                               rtol=1e-4, atol=1e-5)

@@ -89,22 +89,37 @@ class MultiHeadRelAttention(nn.Module):
         )
 
         rel_stddev = dk ** -0.5
+        W = self.window_size
         emb_rel_k = self.param(
             "emb_rel_k",
             lambda key, s: jax.random.normal(key, s) * rel_stddev,
-            (1, 2 * self.window_size + 1, dk),
+            (1, 2 * W + 1, dk),
         )
         emb_rel_v = self.param(
             "emb_rel_v",
             lambda key, s: jax.random.normal(key, s) * rel_stddev,
-            (1, 2 * self.window_size + 1, dk),
+            (1, 2 * W + 1, dk),
         )
-        kr = window_relative_embeddings(emb_rel_k.astype(x.dtype), T, self.window_size)
-        rel_logits = jnp.einsum(
-            "bhtd,gmd->bhtm", qh * scale, kr,
-            preferred_element_type=jnp.float32,
-        )
-        scores = scores + relative_to_absolute(rel_logits)
+        banded = T > W + 1
+        if banded:
+            # The padded relative table is ZERO outside |i-j|<=W
+            # (window_relative_embeddings), so the Shaw shuffles reduce to
+            # exact banded scatter/gather — O(T*(2W+1)) instead of O(T*2T)
+            # intermediates.
+            band = jnp.einsum("bhtd,gmd->bhtm", qh * scale,
+                              emb_rel_k.astype(x.dtype),
+                              preferred_element_type=jnp.float32)  # (B,H,T,2W+1)
+            rows = jnp.arange(T)[:, None]                 # (T, 1)
+            cols = rows + jnp.arange(-W, W + 1)[None, :]  # (T, 2W+1)
+            valid = (cols >= 0) & (cols < T)
+            cols_c = jnp.clip(cols, 0, T - 1)
+            scores = scores.at[:, :, rows, cols_c].add(
+                jnp.where(valid[None, None], band, 0.0))
+        else:
+            kr = window_relative_embeddings(emb_rel_k.astype(x.dtype), T, W)
+            rel_logits = jnp.einsum("bhtd,gmd->bhtm", qh * scale, kr,
+                                    preferred_element_type=jnp.float32)
+            scores = scores + relative_to_absolute(rel_logits)
 
         if attn_mask is not None:
             if attn_mask.ndim == 3:
@@ -114,9 +129,14 @@ class MultiHeadRelAttention(nn.Module):
         if self.p_dropout > 0 and not deterministic:
             p = nn.Dropout(rate=self.p_dropout)(p, deterministic=False)
         out = jnp.einsum("bhts,bhsd->bhtd", p, vh)
-        vr = window_relative_embeddings(emb_rel_v.astype(x.dtype), T, self.window_size)
-        rel_w = absolute_to_relative(p)
-        out = out + jnp.einsum("bhtm,gmd->bhtd", rel_w, vr)
+        if banded:
+            rel_w = jnp.where(valid[None, None], p[:, :, rows, cols_c], 0.0)
+            out = out + jnp.einsum("bhtm,gmd->bhtd", rel_w,
+                                   emb_rel_v.astype(x.dtype))
+        else:
+            vr = window_relative_embeddings(emb_rel_v.astype(x.dtype), T, W)
+            rel_w = absolute_to_relative(p)
+            out = out + jnp.einsum("bhtm,gmd->bhtd", rel_w, vr)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, c)
         return Conv1d(self.out_channels, 1, kernel_init=xavier, name="conv_o")(out)
 
