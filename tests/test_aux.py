@@ -152,3 +152,18 @@ def test_stablehlo_export_roundtrip(tmp_path):
              jnp.zeros((1,), jnp.int32), jnp.zeros((1, T), jnp.int32),
              jnp.zeros((1, T)), jax.random.PRNGKey(0))
     assert np.asarray(out).shape == (1, T * 160, 1)
+
+
+def test_pack_unpack_tree(rng):
+    from tpu_rvc.utils.packing import pack_tree, unpack_tree
+    tree = {"a": rng.standard_normal((3, 4)).astype(np.float32),
+            "b": {"c": rng.standard_normal(7).astype(np.float32),
+                  "d": np.int32(5) * np.ones((2, 2), np.int32)}}
+    flat, spec = pack_tree(tree)
+    assert flat.shape == (3 * 4 + 7 + 4,)
+    out = jax.jit(lambda f: unpack_tree(f, spec))(flat)
+    np.testing.assert_allclose(np.asarray(out["a"]), tree["a"], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["b"]["c"]), tree["b"]["c"],
+                               rtol=1e-6)
+    assert out["b"]["d"].dtype == np.int32
+    np.testing.assert_array_equal(np.asarray(out["b"]["d"]), tree["b"]["d"])
