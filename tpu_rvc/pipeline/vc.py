@@ -42,6 +42,27 @@ def _bucket(n: int, step: int = SR) -> int:
     return int(math.ceil(n / step)) * step
 
 
+def _device_change_rms(source, sr1, target, sr2, rate):
+    """In-graph RMS envelope mix (reference change_rms, pipeline.py:26):
+    target *= rms(source)^(1-rate) * rms(target)^(rate-1).  rate==1 is the
+    identity (the jnp.where keeps one compiled graph for all rates)."""
+    from tpu_rvc.ops.resample import linear_interp_1d
+
+    def frame_rms(y, sr):
+        frame, hop = sr // 2 * 2, sr // 2
+        pad = frame // 2
+        yp = jnp.pad(y, (pad, pad))
+        n = 1 + (yp.shape[0] - frame) // hop
+        idx = jnp.arange(n)[:, None] * hop + jnp.arange(frame)[None, :]
+        return jnp.sqrt(jnp.mean(yp[idx] ** 2, axis=1))
+
+    rms1 = linear_interp_1d(frame_rms(source, sr1), target.shape[0])
+    rms2 = jnp.maximum(
+        linear_interp_1d(frame_rms(target, sr2), target.shape[0]), 1e-6)
+    mixed = target * jnp.power(rms1, 1.0 - rate) * jnp.power(rms2, rate - 1.0)
+    return jnp.where(rate >= 1.0, target, mixed)
+
+
 class Pipeline:
     def __init__(self, tgt_sr: int, *, hubert, hubert_vars, synth, synth_vars,
                  version: str = "v2", x_pad: float = 3.0, x_query: float = 10.0,
@@ -131,7 +152,8 @@ class Pipeline:
         true_frames = min(p_len, p_len_static)
 
         def run_full(hubert_vars, synth_vars, audio, up_key, sid,
-                     index_vecs, index_sq, index_rate, protect, noise_key):
+                     index_vecs, index_sq, index_rate, protect, rms_mix_rate,
+                     noise_key):
             if use_f0:
                 from tpu_rvc.f0.device import pm_f0_device
                 pitch, pitchf = pm_f0_device(audio, p_len, up_key)
@@ -148,7 +170,17 @@ class Pipeline:
                 pit, pitf, index_vecs, index_sq, index_rate, protect,
                 noise_key)
             out = out[: true_frames * upsample]
-            return out[self.t_pad_tgt: out.shape[0] - self.t_pad_tgt]
+            out = out[self.t_pad_tgt: out.shape[0] - self.t_pad_tgt]
+            # device-side RMS envelope mix (reference change_rms,
+            # pipeline.py:26) against the unpadded source region
+            src16 = audio[self.t_pad: L - self.t_pad]
+            out = _device_change_rms(src16, SR, out, self.tgt_sr,
+                                     rms_mix_rate)
+            # device-side int16 peak scaling (pipeline.py:356-360): the
+            # fetch is half the bytes of fp32 and is the product format
+            audio_max = jnp.max(jnp.abs(out)) / 0.99
+            max_int16 = jnp.where(audio_max > 1, 32768.0 / audio_max, 32768.0)
+            return jnp.clip(out * max_int16, -32768, 32767).astype(jnp.int16)
 
         self._graphs[key] = jax.jit(run_full)
         return self._graphs[key]
@@ -248,20 +280,16 @@ class Pipeline:
                         jnp.asarray(float(f0_up_key)), jnp.asarray(sid),
                         vecs, sq, jnp.asarray(index_rate, jnp.float32),
                         jnp.asarray(protect, jnp.float32),
+                        jnp.asarray(rms_mix_rate, jnp.float32),
                         jax.random.PRNGKey(noise_seed))
-            result = np.asarray(out)
-            times[2] += time.time() - t0
-            if rms_mix_rate != 1:
-                result = change_rms(audio, SR, result, self.tgt_sr,
-                                    rms_mix_rate)
             if self.tgt_sr != resample_sr and resample_sr >= SR:
-                result = np.asarray(resample_poly(
-                    jnp.asarray(result[None]), self.tgt_sr, resample_sr))[0]
-            audio_max = np.abs(result).max() / 0.99
-            max_int16 = 32768.0
-            if audio_max > 1:
-                max_int16 /= audio_max
-            return (result * max_int16).astype(np.int16)
+                out = resample_poly(
+                    (out.astype(jnp.float32) / 32768.0)[None],
+                    self.tgt_sr, resample_sr)[0]
+                out = jnp.clip(out * 32768.0, -32768, 32767).astype(jnp.int16)
+            result = np.asarray(out)  # single device->host fetch (int16)
+            times[2] += time.time() - t0
+            return result
 
         audio_pad_dev = jnp.asarray(audio_pad)  # single H2D upload
         pitch = pitchf = None
