@@ -139,3 +139,23 @@ def test_deecho_cascadednet_parity():
         np.maximum(x, 1e-9)
     err = np.abs(mask_ours - mask_ref).max()
     assert err < 5e-4, f"DeEcho mask mismatch {err}"
+
+
+def test_mdxnet_demix_machinery(tmp_path):
+    """MDX demix flow with an identity model: STFT<->iSTFT roundtrip through
+    the chunk/margin/denoise machinery must approximately reconstruct."""
+    from tpu_rvc.pipeline.mdxnet import ConvTDFSpec, MDXPredictor
+
+    spec = ConvTDFSpec(dim_f=1024, dim_t=6, n_fft=2048, hop=512)
+    pred = MDXPredictor(lambda s: s, spec, chunks=1, margin=4410,
+                        denoise=True)
+    sr = 44100
+    t = np.arange(2 * sr) / sr
+    mix = np.stack([np.sin(2 * np.pi * 440 * t),
+                    np.sin(2 * np.pi * 330 * t)]).astype(np.float32) * 0.5
+    out = pred.demix(mix)[0]
+    assert out.shape == mix.shape
+    # identity model -> output approximates input up to high-freq crop
+    interior = slice(sr // 4, -sr // 4)
+    err = np.abs(out[:, interior] - mix[:, interior]).max()
+    assert err < 0.05, err

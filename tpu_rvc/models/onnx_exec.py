@@ -1,0 +1,235 @@
+"""Tiny ONNX-graph executor on jax.numpy (serves the MDX-Net dereverb's
+opaque ONNX models, reference mdxnet.py Predictor, without onnxruntime).
+
+Covers the conv-net op set (Conv/ConvTranspose/BatchNorm/InstanceNorm/
+GroupNorm, elementwise, pooling, Gemm/MatMul, Reshape/Transpose/Concat/
+Slice/Pad, Resize-nearest).  Unknown ops raise with the op name so coverage
+gaps surface immediately.  Tensors are NCHW exactly as ONNX specifies; XLA
+re-layouts internally.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_rvc.ckpt.onnx_reader import OnnxGraph, OnnxNode, load_onnx
+
+
+def _conv(x, w, b, node: OnnxNode, transpose=False):
+    spatial = x.ndim - 2
+    strides = tuple(node.attr("strides", [1] * spatial))
+    dil = tuple(node.attr("dilations", [1] * spatial))
+    group = int(node.attr("group", 1))
+    pads = node.attr("pads", [0] * (2 * spatial))
+    pad_pairs = [(int(pads[i]), int(pads[i + spatial]))
+                 for i in range(spatial)]
+    if not transpose:
+        # ONNX conv weight: (out, in/group, *k) -> jax IO spec via dim numbers
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NCHW", "OIHW", "NCHW") if spatial == 2
+            else ("NCH", "OIH", "NCH"))
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), strides, pad_pairs, rhs_dilation=dil,
+            dimension_numbers=dn, feature_group_count=group)
+    else:
+        # ConvTranspose weight: (in, out/group, *k)
+        out_pads = node.attr("output_padding", [0] * spatial)
+        k = w.shape[2:]
+        w_f = jnp.flip(w, axis=tuple(range(2, w.ndim)))
+        w_f = jnp.swapaxes(w_f, 0, 1)  # (out/group, in, *k)
+        if group != 1:
+            raise NotImplementedError("grouped ConvTranspose")
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w_f.shape, ("NCHW", "OIHW", "NCHW") if spatial == 2
+            else ("NCH", "OIH", "NCH"))
+        tp = [(int(k[i]) - 1 - pad_pairs[i][0],
+               int(k[i]) - 1 - pad_pairs[i][1] + int(out_pads[i]))
+              for i in range(spatial)]
+        y = jax.lax.conv_general_dilated(
+            x, w_f.astype(x.dtype), (1,) * spatial, tp,
+            lhs_dilation=strides, dimension_numbers=dn)
+    if b is not None:
+        y = y + b.reshape((1, -1) + (1,) * spatial).astype(y.dtype)
+    return y
+
+
+def _pool(x, node: OnnxNode, op):
+    spatial = x.ndim - 2
+    k = tuple(node.attr("kernel_shape"))
+    strides = tuple(node.attr("strides", list(k)))
+    pads = node.attr("pads", [0] * (2 * spatial))
+    pad_pairs = [(0, 0), (0, 0)] + [(int(pads[i]), int(pads[i + spatial]))
+                                    for i in range(spatial)]
+    window = (1, 1) + k
+    strides_full = (1, 1) + strides
+    if op == "max":
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, window,
+                                     strides_full, pad_pairs)
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, strides_full,
+                              pad_pairs)
+    return s / np.prod(k)
+
+
+class OnnxModule:
+    """Executable ONNX graph: module(input_arrays...) -> outputs."""
+
+    def __init__(self, graph: OnnxGraph):
+        self.graph = graph
+        self.params = {k: jnp.asarray(v) for k, v in graph.initializers.items()}
+
+    @classmethod
+    def from_file(cls, path: str) -> "OnnxModule":
+        return cls(load_onnx(path))
+
+    def __call__(self, *args, **named):
+        env: Dict[str, Any] = dict(self.params)
+        for name, val in zip(self.graph.inputs, args):
+            env[name] = jnp.asarray(val)
+        env.update({k: jnp.asarray(v) for k, v in named.items()})
+
+        for node in self.graph.nodes:
+            ins = [env[i] if i else None for i in node.inputs]
+            out = self._exec(node, ins, env)
+            if isinstance(out, (list, tuple)):
+                for name, val in zip(node.outputs, out):
+                    env[name] = val
+            else:
+                env[node.outputs[0]] = out
+        outs = [env[o] for o in self.graph.outputs]
+        return outs[0] if len(outs) == 1 else outs
+
+    def _exec(self, node: OnnxNode, ins: List, env: Dict):
+        op = node.op_type
+        if op == "Conv":
+            return _conv(ins[0], ins[1], ins[2] if len(ins) > 2 else None, node)
+        if op == "ConvTranspose":
+            return _conv(ins[0], ins[1], ins[2] if len(ins) > 2 else None,
+                         node, transpose=True)
+        if op == "BatchNormalization":
+            x, g, b, mean, var = ins[:5]
+            eps = node.attr("epsilon", 1e-5)
+            shape = (1, -1) + (1,) * (x.ndim - 2)
+            return ((x - mean.reshape(shape)) *
+                    jax.lax.rsqrt(var.reshape(shape) + eps) *
+                    g.reshape(shape) + b.reshape(shape))
+        if op == "InstanceNormalization":
+            x, g, b = ins[:3]
+            eps = node.attr("epsilon", 1e-5)
+            axes = tuple(range(2, x.ndim))
+            mu = jnp.mean(x, axes, keepdims=True)
+            var = jnp.var(x, axes, keepdims=True)
+            shape = (1, -1) + (1,) * (x.ndim - 2)
+            return ((x - mu) * jax.lax.rsqrt(var + eps) * g.reshape(shape)
+                    + b.reshape(shape))
+        if op == "GroupNormalization":
+            x, g, b = ins[:3]
+            ng = int(node.attr("num_groups"))
+            eps = node.attr("epsilon", 1e-5)
+            B, C = x.shape[:2]
+            xg = x.reshape((B, ng, C // ng) + x.shape[2:])
+            axes = tuple(range(2, xg.ndim))
+            mu = jnp.mean(xg, axes, keepdims=True)
+            var = jnp.var(xg, axes, keepdims=True)
+            xn = ((xg - mu) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+            shape = (1, -1) + (1,) * (x.ndim - 2)
+            return xn * g.reshape(shape) + b.reshape(shape)
+        if op == "Relu":
+            return jax.nn.relu(ins[0])
+        if op == "LeakyRelu":
+            return jax.nn.leaky_relu(ins[0], node.attr("alpha", 0.01))
+        if op == "Elu":
+            return jax.nn.elu(ins[0], node.attr("alpha", 1.0))
+        if op == "Sigmoid":
+            return jax.nn.sigmoid(ins[0])
+        if op == "Tanh":
+            return jnp.tanh(ins[0])
+        if op == "Clip":
+            lo = ins[1] if len(ins) > 2 and ins[1] is not None else \
+                node.attr("min", -jnp.inf)
+            hi = ins[2] if len(ins) > 2 and ins[2] is not None else \
+                node.attr("max", jnp.inf)
+            return jnp.clip(ins[0], lo, hi)
+        if op in ("Add", "Sub", "Mul", "Div"):
+            f = {"Add": jnp.add, "Sub": jnp.subtract, "Mul": jnp.multiply,
+                 "Div": jnp.divide}[op]
+            return f(ins[0], ins[1])
+        if op == "MatMul":
+            return ins[0] @ ins[1]
+        if op == "Gemm":
+            a, b = ins[0], ins[1]
+            if node.attr("transA", 0):
+                a = a.T
+            if node.attr("transB", 0):
+                b = b.T
+            y = node.attr("alpha", 1.0) * (a @ b)
+            if len(ins) > 2 and ins[2] is not None:
+                y = y + node.attr("beta", 1.0) * ins[2]
+            return y
+        if op == "Concat":
+            return jnp.concatenate([i for i in ins if i is not None],
+                                   axis=int(node.attr("axis")))
+        if op == "Reshape":
+            shape = [int(s) for s in np.asarray(ins[1])]
+            return jnp.reshape(ins[0], shape)
+        if op == "Transpose":
+            return jnp.transpose(ins[0], node.attr("perm"))
+        if op == "Unsqueeze":
+            axes = (node.attr("axes") or
+                    [int(a) for a in np.asarray(ins[1])])
+            y = ins[0]
+            for a in sorted(axes):
+                y = jnp.expand_dims(y, a)
+            return y
+        if op == "Squeeze":
+            axes = (node.attr("axes") or
+                    ([int(a) for a in np.asarray(ins[1])]
+                     if len(ins) > 1 else None))
+            return jnp.squeeze(ins[0], tuple(axes) if axes else None)
+        if op == "Slice":
+            starts = [int(s) for s in np.asarray(ins[1])]
+            ends = [int(s) for s in np.asarray(ins[2])]
+            axes = ([int(s) for s in np.asarray(ins[3])] if len(ins) > 3
+                    else list(range(len(starts))))
+            steps = ([int(s) for s in np.asarray(ins[4])] if len(ins) > 4
+                     else [1] * len(starts))
+            idx = [slice(None)] * ins[0].ndim
+            for s, e, a, st in zip(starts, ends, axes, steps):
+                idx[a] = slice(s, None if e >= (1 << 62) else e, st)
+            return ins[0][tuple(idx)]
+        if op == "Pad":
+            pads = [int(s) for s in np.asarray(ins[1])] if len(ins) > 1 \
+                else node.attr("pads")
+            n = ins[0].ndim
+            pad_pairs = [(pads[i], pads[i + n]) for i in range(n)]
+            return jnp.pad(ins[0], pad_pairs)
+        if op == "MaxPool":
+            return _pool(ins[0], node, "max")
+        if op == "AveragePool":
+            return _pool(ins[0], node, "avg")
+        if op == "GlobalAveragePool":
+            return jnp.mean(ins[0], axis=tuple(range(2, ins[0].ndim)),
+                            keepdims=True)
+        if op == "Identity":
+            return ins[0]
+        if op == "Constant":
+            return jnp.asarray(node.attr("value"))
+        if op == "Softmax":
+            return jax.nn.softmax(ins[0], axis=int(node.attr("axis", -1)))
+        if op == "Resize":
+            scales = np.asarray(ins[2]) if len(ins) > 2 and ins[2] is not None \
+                else None
+            x = ins[0]
+            if scales is None or scales.size == 0:
+                sizes = [int(s) for s in np.asarray(ins[3])]
+            else:
+                sizes = [int(round(d * s)) for d, s in
+                         zip(x.shape, np.asarray(scales))]
+            mode = node.attr("mode", "nearest")
+            method = "nearest" if "nearest" in str(mode) else "linear"
+            return jax.image.resize(x, sizes, method=method)
+        raise NotImplementedError(f"ONNX op not supported: {op}")
