@@ -74,9 +74,16 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
                  save_every_epoch: int = 5, batch_size: Optional[int] = None,
                  pretrain_g: str = "", pretrain_d: str = "",
                  name: str = "model", author: str = "",
-                 log_fn=None) -> Dict[str, Any]:
+                 log_fn=None, tensorboard: bool = True) -> Dict[str, Any]:
     """Fine-tune on a prepared experiment dir; returns final metrics."""
     log = log_fn or (lambda s: logger.info(s))
+    tb = None
+    if tensorboard:
+        try:  # scalars per log_interval, like the reference (train.py:604)
+            from tensorboardX import SummaryWriter
+            tb = SummaryWriter(os.path.join(exp_dir, "tb"))
+        except Exception:
+            tb = None
     sr_tag = {32000: "32k", 40000: "40k", 48000: "48k"}[hp.data.sampling_rate]
     filelist = os.path.join(exp_dir, "filelist.txt")
     if not os.path.exists(filelist):
@@ -143,6 +150,15 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
             state, metrics = step_fn(state, batch,
                                      jax.random.PRNGKey(hp.train.seed))
             n_batches += 1
+            step_i = int(state.step)
+            if tb is not None and step_i % hp.train.log_interval == 0:
+                for k, v in metrics.items():
+                    tb.add_scalar(f"train/{k}", float(v), step_i)
+                tb.add_scalar(
+                    "train/lr",
+                    hp.train.learning_rate *
+                    hp.train.lr_decay ** (step_i // max(steps_per_epoch, 1)),
+                    step_i)
         log(f"epoch {epoch + 1}/{total_epochs}: "
             f"{n_batches} steps in {time.time() - t0:.1f}s, "
             + ", ".join(f"{k}={float(v):.3f}" for k, v in metrics.items()))
