@@ -390,3 +390,38 @@ def _conv2d_wn_from_1d(sd: "_SD", prefix: str):
     b = sd.get(f"{prefix}.bias")
     return (np.transpose(g, (1, 2, 0))[None],
             np.ascontiguousarray(np.transpose(v, (2, 1, 0)))[:, None], b)
+
+
+def state_dict_from_discriminator_params(params, version: str = "v2"):
+    """flax MPD params -> reference-layout state_dict (weight_g/v names),
+    inverse of discriminator_params_from_state_dict."""
+    p = params.get("params", params)
+    periods = _V2_PERIODS if version == "v2" else _V1_PERIODS
+    out: Dict[str, np.ndarray] = {}
+
+    def put_2d(tree_g, tree_v, tree_b, prefix, from_1d=False):
+        g, v, b = np.asarray(tree_g), np.asarray(tree_v), np.asarray(tree_b)
+        if from_1d:  # our (k,1,in,out) -> torch Conv1d (out,in,k)
+            out[f"{prefix}.weight_g"] = np.transpose(g[0], (2, 0, 1))
+            out[f"{prefix}.weight_v"] = np.ascontiguousarray(
+                np.transpose(v[:, 0], (2, 1, 0)))
+        else:        # our (kh,kw,in,out) -> torch Conv2d (out,in,kh,kw)
+            out[f"{prefix}.weight_g"] = np.transpose(g, (3, 0, 1, 2))
+            out[f"{prefix}.weight_v"] = np.ascontiguousarray(
+                np.transpose(v, (3, 2, 0, 1)))
+        out[f"{prefix}.bias"] = b
+
+    ds = p["disc_s"]
+    for i in range(6):
+        put_2d(ds[f"conv_{i}_g"], ds[f"conv_{i}_v"], ds[f"conv_{i}_bias"],
+               f"discriminators.0.convs.{i}", from_1d=True)
+    put_2d(ds["conv_post_g"], ds["conv_post_v"], ds["conv_post_bias"],
+           "discriminators.0.conv_post", from_1d=True)
+    for j, period in enumerate(periods, start=1):
+        dp = p[f"disc_p{period}"]
+        for i in range(5):
+            put_2d(dp[f"conv_{i}_g"], dp[f"conv_{i}_v"], dp[f"conv_{i}_bias"],
+                   f"discriminators.{j}.convs.{i}")
+        put_2d(dp["conv_post_g"], dp["conv_post_v"], dp["conv_post_bias"],
+               f"discriminators.{j}.conv_post")
+    return out
