@@ -182,3 +182,33 @@ def test_banded_rel_attention_matches_padded_path(rng):
     y_oracle = conv1x1(out, "conv_o")
     np.testing.assert_allclose(np.asarray(y_banded), np.asarray(y_oracle),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_attention_matches_xla(rng):
+    """Fused Pallas kernel (interpret mode on CPU) vs the XLA banded path,
+    end to end through TextEncoder with mixed lengths."""
+    import tpu_rvc.nn.attention as attn_mod
+    import tpu_rvc.ops.pallas.rel_attention as pk
+
+    orig = pk.banded_rel_attention
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig.__wrapped__(*a, **k)
+
+    B, T, D = 2, 60, 256
+    enc = TextEncoder(192, 192, 768, 2, 2, 3, 0.0, f0=True)
+    phone = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    pitch = jnp.asarray(rng.integers(1, 255, (B, T)).astype(np.int32))
+    lengths = jnp.asarray([T, T - 13])
+    params = enc.init(jax.random.PRNGKey(0), phone, pitch, lengths)
+    m1, _, _ = enc.apply(params, phone, pitch, lengths)
+    pk.banded_rel_attention = interp
+    attn_mod.PALLAS_ATTENTION = True
+    try:
+        m2, _, _ = enc.apply(params, phone, pitch, lengths)
+    finally:
+        attn_mod.PALLAS_ATTENTION = False
+        pk.banded_rel_attention = orig
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                               rtol=1e-4, atol=2e-5)

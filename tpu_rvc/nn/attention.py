@@ -23,6 +23,29 @@ from flax import linen as nn
 
 from .modules import Conv1d, LayerNorm1d
 
+# Trace-time toggle for the Pallas fused kernel (inference graphs only —
+# the kernel has no VJP).  Pipelines set this around synth.apply.
+PALLAS_ATTENTION = False
+
+
+class pallas_attention:
+    """Context manager enabling the fused kernel while tracing an
+    inference graph (no-op off-TPU)."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled and jax.default_backend() == "tpu"
+
+    def __enter__(self):
+        global PALLAS_ATTENTION
+        self.prev = PALLAS_ATTENTION
+        PALLAS_ATTENTION = self.enabled
+        return self
+
+    def __exit__(self, *exc):
+        global PALLAS_ATTENTION
+        PALLAS_ATTENTION = self.prev
+        return False
+
 
 def relative_to_absolute(x: jax.Array) -> jax.Array:
     """(B, H, L, 2L-1) relative logits -> (B, H, L, L) absolute.
@@ -66,8 +89,10 @@ class MultiHeadRelAttention(nn.Module):
     p_dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, attn_mask=None, deterministic: bool = True):
-        # x: (B, T, C); attn_mask: (B, 1, T, T) or (B, T, T) with 1=keep
+    def __call__(self, x, attn_mask=None, deterministic: bool = True,
+                 lengths=None):
+        # x: (B, T, C); attn_mask: (B, 1, T, T) or (B, T, T) with 1=keep;
+        # lengths: (B,) overrides attn_mask for the Pallas fast path
         h, c = self.n_heads, self.channels
         dk = c // h
         xavier = nn.initializers.xavier_uniform()
@@ -82,6 +107,30 @@ class MultiHeadRelAttention(nn.Module):
             return t.reshape(B, T, h, dk).transpose(0, 2, 1, 3)
 
         qh, kh, vh = split(q), split(k), split(v)
+
+        if (PALLAS_ATTENTION and lengths is not None
+                and T > self.window_size + 1 and self.p_dropout == 0):
+            from tpu_rvc.ops.pallas.rel_attention import banded_rel_attention
+            rel_stddev = dk ** -0.5
+            ek = self.param(
+                "emb_rel_k",
+                lambda key, s: jax.random.normal(key, s) * rel_stddev,
+                (1, 2 * self.window_size + 1, dk))
+            ev = self.param(
+                "emb_rel_v",
+                lambda key, s: jax.random.normal(key, s) * rel_stddev,
+                (1, 2 * self.window_size + 1, dk))
+            bh_len = jnp.repeat(jnp.asarray(lengths, jnp.int32), h)
+            out = banded_rel_attention(
+                qh.reshape(B * h, T, dk), kh.reshape(B * h, T, dk),
+                vh.reshape(B * h, T, dk), ek[0], ev[0], bh_len,
+                window=self.window_size)
+            out = out.reshape(B, h, T, dk).transpose(0, 2, 1, 3).reshape(B, T, c)
+            out = out.astype(x.dtype)
+            xav = nn.initializers.xavier_uniform()
+            return Conv1d(self.out_channels, 1, kernel_init=xav,
+                          name="conv_o")(out)
+
         scale = 1.0 / math.sqrt(dk)
         scores = jnp.einsum(
             "bhtd,bhsd->bhts", qh * scale, kh,
@@ -187,12 +236,13 @@ class Encoder(nn.Module):
         # x: (B, T, H); x_mask: (B, T, 1)
         attn_mask = (x_mask[:, None, :, 0][..., None] *
                      x_mask[:, None, :, 0][..., None, :])  # (B,1,T,T)
+        lengths = jnp.sum(x_mask[:, :, 0], axis=1).astype(jnp.int32)
         x = x * x_mask
         for i in range(self.n_layers):
             y = MultiHeadRelAttention(
                 self.hidden_channels, self.hidden_channels, self.n_heads,
                 self.window_size, self.p_dropout, name=f"attn_{i}",
-            )(x, attn_mask, deterministic)
+            )(x, attn_mask, deterministic, lengths=lengths)
             x = LayerNorm1d(name=f"norm1_{i}")(x + y)
             y = FFN(
                 self.hidden_channels, self.filter_channels, self.kernel_size,

@@ -94,14 +94,16 @@ class RealtimeVC:
                 feats0 = jnp.repeat(feats0, 2, axis=1)[:, :p_len]
                 pitchff = jnp.where(pitchf > 0, 1.0, protect)[None, :, None]
                 feats = feats * pitchff + feats0 * (1 - pitchff)
-            audio = self.synth.apply(
-                synth_vars, feats.astype(self.dtype),
-                jnp.asarray([p_len]), jnp.asarray([0]),
-                pitch[None] if use_f0 else None,
-                pitchf[None].astype(self.dtype) if use_f0 else None,
-                skip_head=skip_head, return_length=return_length,
-                return_length2=return_length2,
-                method=self.synth.infer, rngs={"noise": noise_key})
+            from tpu_rvc.nn.attention import pallas_attention
+            with pallas_attention():
+                audio = self.synth.apply(
+                    synth_vars, feats.astype(self.dtype),
+                    jnp.asarray([p_len]), jnp.asarray([0]),
+                    pitch[None] if use_f0 else None,
+                    pitchf[None].astype(self.dtype) if use_f0 else None,
+                    skip_head=skip_head, return_length=return_length,
+                    return_length2=return_length2,
+                    method=self.synth.infer, rngs={"noise": noise_key})
             return audio[0, :, 0].astype(jnp.float32)
 
         self._graphs[key] = jax.jit(run)

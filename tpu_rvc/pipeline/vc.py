@@ -117,16 +117,18 @@ class Pipeline:
                 pitchff = jnp.where(pitchf > 0, 1.0, protect)[None, :, None]
                 feats = feats * pitchff + feats0 * (1 - pitchff)
             true_frames = jnp.minimum(true_len // WINDOW, p_len_static)
-            audio_out = self.synth.apply(
-                synth_vars,
-                feats.astype(self.dtype),
-                true_frames[None],
-                sid[None],
-                pitch[None] if use_f0 else None,
-                pitchf[None].astype(self.dtype) if use_f0 else None,
-                method=self.synth.infer,
-                rngs={"noise": noise_key},
-            )
+            from tpu_rvc.nn.attention import pallas_attention
+            with pallas_attention():
+                audio_out = self.synth.apply(
+                    synth_vars,
+                    feats.astype(self.dtype),
+                    true_frames[None],
+                    sid[None],
+                    pitch[None] if use_f0 else None,
+                    pitchf[None].astype(self.dtype) if use_f0 else None,
+                    method=self.synth.infer,
+                    rngs={"noise": noise_key},
+                )
             return audio_out[0, :, 0].astype(jnp.float32)
 
         jitted = jax.jit(run)
