@@ -98,3 +98,16 @@ def test_stream_session_continuity(engine):
     # block joins: no sample-to-sample jump larger than the global max swing
     d = np.abs(np.diff(out[sess.block_frame:]))
     assert d.max() < 1.0
+
+
+def test_stream_session_with_noise_reduce(engine):
+    sess = StreamSession(engine, samplerate=16000, block_time=0.16,
+                         crossfade_time=0.04, extra_time=0.5, f0method="pm",
+                         input_noise_reduce=True, output_noise_reduce=True)
+    audio = tone(dur=1.0, sr=16000)
+    outs = []
+    for i in range(0, len(audio) - sess.block_frame + 1, sess.block_frame):
+        outs.append(sess.feed(audio[i: i + sess.block_frame]))
+    out = np.concatenate(outs)
+    assert np.isfinite(out).all()
+    assert out.shape[0] == len(outs) * sess.block_frame

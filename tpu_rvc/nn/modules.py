@@ -89,11 +89,22 @@ class Conv1d(nn.Module):
                 (self.features,),
             )
         dt = self.dtype or x.dtype
-        y = conv_ops.conv1d(
-            x.astype(dt), w.astype(dt), None if b is None else b.astype(dt),
-            stride=self.stride, padding=self.padding,
-            dilation=self.dilation, groups=self.groups,
-        )
+        # small-channel stride-1 convs (the vocoder resblocks) hit better MXU
+        # utilization as an unfold+matmul (contraction k*Cin instead of Cin)
+        if (self.stride == 1 and self.groups == 1 and self.kernel_size > 1
+                and cin <= 96 and isinstance(self.padding, int)):
+            y = conv_ops.conv1d_im2col(
+                x.astype(dt), w.astype(dt),
+                None if b is None else b.astype(dt),
+                padding=self.padding, dilation=self.dilation,
+            )
+        else:
+            y = conv_ops.conv1d(
+                x.astype(dt), w.astype(dt),
+                None if b is None else b.astype(dt),
+                stride=self.stride, padding=self.padding,
+                dilation=self.dilation, groups=self.groups,
+            )
         return y
 
 

@@ -206,7 +206,9 @@ class StreamSession:
                  block_time: float = 0.25, crossfade_time: float = 0.05,
                  extra_time: float = 2.5, f0method: str = "rmvpe",
                  rms_mix_rate: float = 1.0, protect: float = 1.0,
-                 use_phase_vocoder: bool = False):
+                 use_phase_vocoder: bool = False,
+                 input_noise_reduce: bool = False,
+                 output_noise_reduce: bool = False):
         self.engine = engine
         self.sr = samplerate
         self.zc = samplerate // 100
@@ -236,6 +238,16 @@ class StreamSession:
                               self.sola_search_frame) // self.zc
         # engine output sr must match stream sr (gui resampler2 role)
         self._out_resample = (self.engine.tgt_sr != samplerate)
+        # spectral-gate denoisers (gui.py I/O_noise_reduce paths)
+        self.input_noise_reduce = input_noise_reduce
+        self.output_noise_reduce = output_noise_reduce
+        if input_noise_reduce or output_noise_reduce:
+            from tpu_rvc.audio.torchgate import TorchGate
+            self._tg = TorchGate(sr=samplerate, n_fft=4 * self.zc,
+                                 prop_decrease=0.9)
+            self.input_wav_denoise = self.input_wav.copy()
+            self.nr_buffer = np.zeros(self.sola_buffer_frame, np.float32)
+            self.output_buffer = np.zeros(total, np.float32)
 
     def feed(self, block: np.ndarray) -> np.ndarray:
         """Process one block (len == block_frame at stream sr)."""
@@ -245,8 +257,27 @@ class StreamSession:
         self.input_wav[-self.block_frame:] = block
         self.input_wav_res[:-self.block_frame_16k] = \
             self.input_wav_res[self.block_frame_16k:]
+        if self.input_noise_reduce:
+            # denoise the fresh block with crossfade against the previous
+            # tail (gui.py:978-992)
+            self.input_wav_denoise[:-self.block_frame] = \
+                self.input_wav_denoise[self.block_frame:]
+            seg_in = self.input_wav[-self.sola_buffer_frame -
+                                    self.block_frame:].copy()
+            den = self._tg(seg_in, self.input_wav).astype(np.float32)
+            den[: self.sola_buffer_frame] *= self.fade_in_window
+            den[: self.sola_buffer_frame] += (self.nr_buffer *
+                                              self.fade_out_window)
+            self.input_wav_denoise[-self.block_frame:] = \
+                den[: self.block_frame]
+            self.nr_buffer[:] = den[self.block_frame:
+                                    self.block_frame +
+                                    self.sola_buffer_frame]
+            source_wav = self.input_wav_denoise
+        else:
+            source_wav = self.input_wav
         # resample the freshest audio (one extra zc of context, gui.py:997)
-        seg = self.input_wav[-self.block_frame - 2 * self.zc:]
+        seg = source_wav[-self.block_frame - 2 * self.zc:]
         res = np.asarray(resample_poly(jnp.asarray(seg[None]), self.sr, SR))[0]
         self.input_wav_res[-self.block_frame_16k - 160:] = \
             res[160: 160 + self.block_frame_16k + 160]
@@ -257,6 +288,14 @@ class StreamSession:
         if self._out_resample:
             infer_wav = np.asarray(resample_poly(
                 jnp.asarray(infer_wav[None]), self.engine.tgt_sr, self.sr))[0]
+        if self.output_noise_reduce:
+            # rolling output buffer as the noise profile (gui.py:1017-1026)
+            self.output_buffer[:-self.block_frame] = \
+                self.output_buffer[self.block_frame:]
+            n_new = min(self.block_frame, len(infer_wav))
+            self.output_buffer[-n_new:] = infer_wav[-n_new:]
+            infer_wav = self._tg(infer_wav.astype(np.float32),
+                                 self.output_buffer).astype(np.float32)
         need = (self.block_frame + self.sola_buffer_frame +
                 self.sola_search_frame)
         if len(infer_wav) < need:
