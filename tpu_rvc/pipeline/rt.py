@@ -208,7 +208,8 @@ class StreamSession:
                  rms_mix_rate: float = 1.0, protect: float = 1.0,
                  use_phase_vocoder: bool = False,
                  input_noise_reduce: bool = False,
-                 output_noise_reduce: bool = False):
+                 output_noise_reduce: bool = False,
+                 fused: bool = True):
         self.engine = engine
         self.sr = samplerate
         self.zc = samplerate // 100
@@ -248,6 +249,18 @@ class StreamSession:
             self.input_wav_denoise = self.input_wav.copy()
             self.nr_buffer = np.zeros(self.sola_buffer_frame, np.float32)
             self.output_buffer = np.zeros(total, np.float32)
+        # single-dispatch fused path (device-resident state); host fallback
+        # covers noise-reduce / rms-mix / non-pm-f0 configurations
+        self._fused = None
+        if (fused and engine.if_f0 in (0, 1) and f0method == "pm"
+                and not input_noise_reduce and not output_noise_reduce
+                and rms_mix_rate >= 1.0 and engine.formant_shift == 0):
+            self._fused = FusedStreamGraph(
+                engine, stream_sr=samplerate, block_frame=self.block_frame,
+                ctx_frame=2 * self.zc, total_len=total,
+                skip_head=self.skip_head, return_length=self.return_length,
+                f0method=f0method, protect=protect)
+            self._fused_state = self._fused.init_state()
 
     def feed(self, block: np.ndarray) -> np.ndarray:
         """Process one block (len == block_frame at stream sr)."""
@@ -255,6 +268,11 @@ class StreamSession:
             f"block must be {self.block_frame} samples"
         self.input_wav[:-self.block_frame] = self.input_wav[self.block_frame:]
         self.input_wav[-self.block_frame:] = block
+        if self._fused is not None:
+            seg48 = self.input_wav[-self.block_frame - 2 * self.zc:]
+            infer_wav, self._fused_state = self._fused(
+                self._fused_state, seg48)
+            return self._merge_block(infer_wav)
         self.input_wav_res[:-self.block_frame_16k] = \
             self.input_wav_res[self.block_frame_16k:]
         if self.input_noise_reduce:
@@ -313,6 +331,13 @@ class StreamSession:
             infer_wav = infer_wav * np.power(
                 rms1 / rms2, 1 - self.rms_mix_rate)
 
+        return self._merge_block(infer_wav)
+
+    def _merge_block(self, infer_wav: np.ndarray) -> np.ndarray:
+        need = (self.block_frame + self.sola_buffer_frame +
+                self.sola_search_frame)
+        if len(infer_wav) < need:
+            infer_wav = np.pad(infer_wav, (0, need - len(infer_wav)))
         # SOLA alignment (gui.py:1058-1073)
         n = self.sola_buffer_frame + self.sola_search_frame
         conv_input = infer_wav[:n + 1]
@@ -334,3 +359,140 @@ class StreamSession:
         self.sola_buffer[:] = infer_wav[
             self.block_frame: self.block_frame + self.sola_buffer_frame]
         return infer_wav[: self.block_frame].copy()
+
+
+class FusedStreamGraph:
+    """Single-dispatch streaming block (latency-critical path).
+
+    The block-loop above (RealtimeVC.infer + StreamSession host glue) costs
+    several device round-trips per block; on remote-attached chips each sync
+    is ~27ms, blowing the <100ms p50 budget.  This graph fuses, per block:
+
+        upload fresh 48k segment (tiny)
+          -> device: resample to 16k, roll the 16k window state,
+             pm f0 on the tail, roll the 1024-frame pitch cache
+             (rtrvc.py:209-217), HuBERT on the window, tail retrieval,
+             synthesizer streaming infer (skip_head/return_length),
+             resample to stream rate
+          -> fetch (block + crossfade + search) samples (tiny)
+
+    All rolling state (16k window, pitch caches) lives on device and is
+    threaded through the call (donated).  SOLA stays on host (it consumes
+    the fetched audio anyway).
+    """
+
+    def __init__(self, engine: RealtimeVC, *, stream_sr: int,
+                 block_frame: int, ctx_frame: int, total_len: int,
+                 skip_head: int, return_length: int, f0method: str = "pm",
+                 protect: float = 1.0):
+        self.engine = engine
+        self.stream_sr = stream_sr
+        self.block_frame = block_frame          # stream-rate samples
+        self.ctx_frame = ctx_frame              # extra context uploaded
+        self.total_len = total_len              # stream-rate window length
+        self.block_16k = 160 * block_frame // (stream_sr // 100)
+        self.total_16k = 160 * total_len // (stream_sr // 100)
+        self.skip_head = skip_head
+        self.return_length = return_length
+        self.f0method = f0method
+        self.protect = protect
+        self.use_f0 = engine.if_f0 == 1
+        self._jit = jax.jit(self._run, donate_argnums=(2,))
+        self._step = 0
+
+    def init_state(self):
+        return {
+            "wav16": jnp.zeros(self.total_16k, jnp.float32),
+            "cache_pitch": jnp.zeros(1024, jnp.int32),
+            "cache_pitchf": jnp.zeros(1024, jnp.float32),
+        }
+
+    def _run(self, hubert_vars, synth_vars, state, seg48, index_vecs,
+             index_sq, index_rate, up_key, protect, noise_key):
+        eng = self.engine
+        # 1. resample fresh segment to 16k, roll window state
+        seg16 = resample_poly(seg48[None], self.stream_sr, SR)[0]
+        n_new = self.block_16k + 160
+        wav16 = jnp.concatenate(
+            [state["wav16"][self.block_16k:],
+             jnp.zeros(self.block_16k, jnp.float32)])
+        wav16 = jax.lax.dynamic_update_slice(
+            wav16, seg16[160:160 + n_new], (self.total_16k - n_new,))
+
+        # 2. f0 on the tail + pitch cache roll (rtrvc.py:199-217)
+        if self.use_f0:
+            from tpu_rvc.f0.device import pm_f0_device
+            f0_frame = self.block_16k + 800
+            tail = jax.lax.dynamic_slice_in_dim(
+                wav16, self.total_16k - f0_frame, f0_frame)
+            c, f = pm_f0_device(tail, f0_frame // WINDOW, up_key)
+            shift = self.block_16k // WINDOW
+            n_keep = c.shape[0] - 4
+            cache_pitch = jnp.concatenate(
+                [state["cache_pitch"][shift:],
+                 jnp.zeros(shift, jnp.int32)])
+            cache_pitchf = jnp.concatenate(
+                [state["cache_pitchf"][shift:],
+                 jnp.zeros(shift, jnp.float32)])
+            cache_pitch = jax.lax.dynamic_update_slice(
+                cache_pitch, c[3:-1], (1024 - n_keep,))
+            cache_pitchf = jax.lax.dynamic_update_slice(
+                cache_pitchf, f[3:-1], (1024 - n_keep,))
+        else:
+            cache_pitch = state["cache_pitch"]
+            cache_pitchf = state["cache_pitchf"]
+        p_len = self.total_16k // WINDOW
+        pitch = cache_pitch[-p_len:]
+        pitchf = cache_pitchf[-p_len:]
+
+        # 3. HuBERT on the rolling window + tail retrieval + synth
+        feats = eng.hubert.apply(hubert_vars,
+                                 wav16[None].astype(eng.dtype))
+        feats = jnp.concatenate([feats, feats[:, -1:]], axis=1)
+        feats0 = feats
+        has_index = index_vecs.shape[0] > 1
+        if has_index:
+            blended = knn_blend(feats[0, self.skip_head // 2:], index_vecs,
+                                index_sq, index_rate)
+            feats = feats.at[0, self.skip_head // 2:].set(
+                blended.astype(feats.dtype))
+        feats = jnp.repeat(feats, 2, axis=1)[:, :p_len]
+        if self.use_f0 and self.protect < 0.5:
+            feats0 = jnp.repeat(feats0, 2, axis=1)[:, :p_len]
+            pitchff = jnp.where(pitchf > 0, 1.0, protect)[None, :, None]
+            feats = feats * pitchff + feats0 * (1 - pitchff)
+        from tpu_rvc.nn.attention import pallas_attention
+        with pallas_attention():
+            audio = eng.synth.apply(
+                synth_vars, feats.astype(eng.dtype),
+                jnp.asarray([p_len]), jnp.asarray([0]),
+                pitch[None] if self.use_f0 else None,
+                pitchf[None].astype(eng.dtype) if self.use_f0 else None,
+                skip_head=self.skip_head,
+                return_length=self.return_length,
+                return_length2=self.return_length,
+                method=eng.synth.infer, rngs={"noise": noise_key})
+        out = audio[0, :, 0].astype(jnp.float32)
+        # 4. to stream rate
+        if eng.tgt_sr != self.stream_sr:
+            out = resample_poly(out[None], eng.tgt_sr, self.stream_sr)[0]
+        new_state = {"wav16": wav16, "cache_pitch": cache_pitch,
+                     "cache_pitchf": cache_pitchf}
+        return out, new_state
+
+    def __call__(self, state, seg48: np.ndarray):
+        eng = self.engine
+        if eng.index is not None and eng.index_rate > 0:
+            vecs, sq = eng.index.device_arrays()
+        else:
+            d = 256 if eng.version == "v1" else 768
+            vecs, sq = (jnp.zeros((1, d), jnp.float32),
+                        jnp.zeros((1,), jnp.float32))
+        self._step += 1
+        out, new_state = self._jit(
+            eng.hubert_vars, eng.synth_vars, state, jnp.asarray(seg48),
+            vecs, sq, jnp.asarray(eng.index_rate, jnp.float32),
+            jnp.asarray(float(eng.f0_up_key)),
+            jnp.asarray(self.protect, jnp.float32),
+            jax.random.PRNGKey(self._step))
+        return np.asarray(out), new_state
