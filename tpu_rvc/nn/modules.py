@@ -92,7 +92,7 @@ class Conv1d(nn.Module):
         # small-channel stride-1 convs (the vocoder resblocks) hit better MXU
         # utilization as an unfold+matmul (contraction k*Cin instead of Cin)
         if (self.stride == 1 and self.groups == 1 and self.kernel_size > 1
-                and cin <= 192 and isinstance(self.padding, int)):
+                and cin <= 96 and isinstance(self.padding, int)):
             y = conv_ops.conv1d_im2col(
                 x.astype(dt), w.astype(dt),
                 None if b is None else b.astype(dt),
