@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tpu_rvc.ops.conv import conv1d
+from tpu_rvc.ops.conv import conv1d, conv1d_im2col
 
 BASE_CONV_LAYERS: Tuple[Tuple[int, int, int], ...] = (
     (512, 10, 5), (512, 3, 2), (512, 3, 2), (512, 3, 2),
@@ -63,7 +63,10 @@ class ConvFeatureExtractor(nn.Module):
         for i, (ch, k, s) in enumerate(self.conv_layers):
             w = self.param(f"conv_{i}", nn.initializers.he_normal(),
                            (k, x.shape[-1], ch))
-            x = conv1d(x, w.astype(x.dtype), stride=s)
+            if x.shape[-1] <= 96:  # conv0 has Cin=1: unfold for MXU util
+                x = conv1d_im2col(x, w.astype(x.dtype), stride=s)
+            else:
+                x = conv1d(x, w.astype(x.dtype), stride=s)
             if i == 0:
                 # GroupNorm with n_groups == n_channels: per-channel instance
                 # norm over time.

@@ -89,14 +89,16 @@ class Conv1d(nn.Module):
                 (self.features,),
             )
         dt = self.dtype or x.dtype
-        # small-channel stride-1 convs (the vocoder resblocks) hit better MXU
-        # utilization as an unfold+matmul (contraction k*Cin instead of Cin)
-        if (self.stride == 1 and self.groups == 1 and self.kernel_size > 1
-                and cin <= 96 and isinstance(self.padding, int)):
+        # small-channel convs (vocoder resblocks, NSF noise_convs, HuBERT
+        # conv0) hit better MXU utilization as an unfold+matmul
+        # (contraction k*Cin instead of Cin)
+        if (self.groups == 1 and self.kernel_size > 1 and cin <= 96
+                and isinstance(self.padding, int)):
             y = conv_ops.conv1d_im2col(
                 x.astype(dt), w.astype(dt),
                 None if b is None else b.astype(dt),
-                padding=self.padding, dilation=self.dilation,
+                stride=self.stride, padding=self.padding,
+                dilation=self.dilation,
             )
         else:
             y = conv_ops.conv1d(

@@ -196,24 +196,31 @@ def conv1d_im2col(
     w: jax.Array,
     b: Optional[jax.Array] = None,
     *,
+    stride: int = 1,
     padding: int = 0,
     dilation: int = 1,
 ) -> jax.Array:
-    """stride-1 conv1d as an unfold + single matmul.
+    """conv1d as an unfold + single matmul.
 
     For small channel counts the MXU contraction dim of a direct conv is
-    Cin (e.g. 32 of 128 lanes at the vocoder's last stages); unfolding the
-    k taps makes it k*Cin.  x: (B, T, Cin), w: (K, Cin, Cout); same
-    semantics as conv1d(stride=1, padding, dilation).
+    Cin (e.g. 32 of 128 lanes at the vocoder's last stages, or 1 for the
+    NSF noise_convs / HuBERT conv0); unfolding the k taps makes it k*Cin.
+    x: (B, T, Cin), w: (K, Cin, Cout); same semantics as conv1d.
     """
     K, cin, cout = w.shape
     B, T, _ = x.shape
     span = (K - 1) * dilation
-    xp = jnp.pad(x, ((0, 0), (padding, span - padding + 1), (0, 0)))
-    # taps: K shifted views, each (B, T_out, Cin)
-    T_out = T + 2 * padding - span
-    cols = [jax.lax.dynamic_slice_in_dim(xp, j * dilation, T_out, axis=1)
-            for j in range(K)]
+    T_out = (T + 2 * padding - span - 1) // stride + 1
+    # pad enough that every strided tap slice is in range
+    need = (T_out - 1) * stride + span + 1
+    xp = jnp.pad(x, ((0, 0), (padding, max(need - T - padding, 0) + 1),
+                     (0, 0)))
+    cols = []
+    for j in range(K):
+        s = jax.lax.slice_in_dim(xp, j * dilation,
+                                 j * dilation + (T_out - 1) * stride + 1,
+                                 stride=stride, axis=1)
+        cols.append(s)
     unf = jnp.concatenate(cols, axis=-1)  # (B, T_out, K*Cin)
     y = jnp.einsum("btk,ko->bto", unf, w.reshape(K * cin, cout),
                    preferred_element_type=jnp.float32).astype(x.dtype)
