@@ -63,10 +63,7 @@ class ConvFeatureExtractor(nn.Module):
         for i, (ch, k, s) in enumerate(self.conv_layers):
             w = self.param(f"conv_{i}", nn.initializers.he_normal(),
                            (k, x.shape[-1], ch))
-            if x.shape[-1] <= 96:  # conv0 has Cin=1: unfold for MXU util
-                x = conv1d_im2col(x, w.astype(x.dtype), stride=s)
-            else:
-                x = conv1d(x, w.astype(x.dtype), stride=s)
+            x = conv1d(x, w.astype(x.dtype), stride=s)
             if i == 0:
                 # GroupNorm with n_groups == n_channels: per-channel instance
                 # norm over time.

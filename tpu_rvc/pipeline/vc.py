@@ -146,7 +146,6 @@ class Pipeline:
         if key in self._graphs:
             return self._graphs[key]
         bucket = _bucket(L)
-        chunk_run = None  # reuse the chunk graph body un-jitted
         inner = self._chunk_graph(bucket, use_f0, has_index, protect_on)
         p_len = L // WINDOW
         upsample = math.prod(self.synth.upsample_rates)
