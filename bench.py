@@ -76,13 +76,17 @@ def main():
     print(f"[bench] compile+first run: {time.time() - t0:.1f}s, "
           f"out={len(out)} samples @48k", file=sys.stderr)
 
-    n_iter = 5
-    t0 = time.time()
+    n_iter = 7
+    times = []
     for _ in range(n_iter):
+        t0 = time.time()
         out = convert()
-    elapsed = (time.time() - t0) / n_iter
+        times.append(time.time() - t0)
+    import statistics
+    elapsed = statistics.median(times)
     rtf = dur_s / elapsed
-    print(f"[bench] {elapsed * 1000:.1f} ms per 10 s utterance",
+    print(f"[bench] median {elapsed * 1000:.1f} ms per 10 s utterance "
+          f"(min {min(times)*1000:.0f}, max {max(times)*1000:.0f})",
           file=sys.stderr)
 
     print(json.dumps({

@@ -111,6 +111,20 @@ class RVCDataset:
         return len(self.items)
 
     def load(self, i: int) -> Dict[str, np.ndarray]:
+        # host-side item cache (reference if_cache_data_in_gpu role,
+        # train.py:425-501): fine-tune datasets are ~10 min of audio, so
+        # whole-dataset caching is cheap and removes disk + spectrogram work
+        # from every epoch after the first
+        if not hasattr(self, "_cache"):
+            self._cache = {}
+        if i in self._cache:
+            return self._cache[i]
+        out = self._load(i)
+        if len(self._cache) < 2048:
+            self._cache[i] = out
+        return out
+
+    def _load(self, i: int) -> Dict[str, np.ndarray]:
         it = self.items[i]
         d = self.hp.data
         phone = np.load(it.feat_path)
