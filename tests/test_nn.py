@@ -212,3 +212,30 @@ def test_pallas_attention_matches_xla(rng):
         pk.banded_rel_attention = orig
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
                                rtol=1e-4, atol=2e-5)
+
+
+def test_pallas_resblock_matches_module(rng):
+    """Fused resblock kernel (interpret mode) through the ResBlock1 module
+    fast path must equal the unfused path."""
+    from tpu_rvc.nn import modules as mods
+    import tpu_rvc.ops.pallas.resblock as rk
+
+    orig = rk.fused_resblock
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig.__wrapped__(*a, **k)
+
+    rb = ResBlock1(64, 7, (1, 3, 5), weight_norm=False)
+    x = jnp.asarray(rng.standard_normal((1, 700, 64)).astype(np.float32) * 0.3)
+    params = rb.init(jax.random.PRNGKey(0), x)
+    ref = rb.apply(params, x)
+    rk.fused_resblock = interp
+    mods.PALLAS_RESBLOCKS = True
+    try:
+        got = rb.apply(params, x)
+    finally:
+        mods.PALLAS_RESBLOCKS = False
+        rk.fused_resblock = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

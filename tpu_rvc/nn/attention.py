@@ -37,13 +37,18 @@ class pallas_attention:
 
     def __enter__(self):
         global PALLAS_ATTENTION
+        from tpu_rvc.nn import modules as _modules
         self.prev = PALLAS_ATTENTION
+        self.prev_rb = _modules.PALLAS_RESBLOCKS
         PALLAS_ATTENTION = self.enabled
+        _modules.PALLAS_RESBLOCKS = self.enabled
         return self
 
     def __exit__(self, *exc):
         global PALLAS_ATTENTION
+        from tpu_rvc.nn import modules as _modules
         PALLAS_ATTENTION = self.prev
+        _modules.PALLAS_RESBLOCKS = self.prev_rb
         return False
 
 

@@ -25,6 +25,11 @@ from tpu_rvc.ops import conv as conv_ops
 
 LRELU_SLOPE = 0.1
 
+# Trace-time toggle: inference pipelines enable the fused Pallas resblock
+# kernel (set together with attention's flag by
+# tpu_rvc.nn.attention.pallas_attention).
+PALLAS_RESBLOCKS = False
+
 
 def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
     """torch Conv1d default init: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))."""
@@ -65,8 +70,9 @@ class Conv1d(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
-        cin = x.shape[-1]
+    def make_weights(self, cin):
+        """Create/fetch this conv's parameters (shared by __call__ and the
+        fused-kernel paths that need raw weights)."""
         shape = (self.kernel_size, cin // self.groups, self.features)
         kinit = self.kernel_init or torch_conv_kernel_init
         if self.weight_norm:
@@ -88,6 +94,11 @@ class Conv1d(nn.Module):
                 torch_conv_bias_init_factory(shape[0] * shape[1]),
                 (self.features,),
             )
+        return w, b
+
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w, b = self.make_weights(cin)
         dt = self.dtype or x.dtype
         # small-channel convs (vocoder resblocks, NSF noise_convs, HuBERT
         # conv0) hit better MXU utilization as an unfold+matmul
@@ -264,6 +275,28 @@ class ResBlock1(nn.Module):
 
     @nn.compact
     def __call__(self, x, x_mask=None):
+        # Fused Pallas path: the whole 6-conv chain in VMEM (inference
+        # graphs, B==1, unmasked, C small enough that weights fit VMEM).
+        if (PALLAS_RESBLOCKS and x_mask is None and x.shape[0] == 1
+                and self.channels <= 64 and len(self.dilation) == 3):
+            from tpu_rvc.ops.pallas.resblock import fused_resblock
+            ws, bs = [], []
+            for i, d in enumerate(self.dilation):
+                c1 = Conv1d(self.channels, self.kernel_size,
+                            padding=_get_padding(self.kernel_size, d),
+                            dilation=d, weight_norm=self.weight_norm,
+                            kernel_init=normal_001_init, name=f"c1_{i}")
+                c2 = Conv1d(self.channels, self.kernel_size,
+                            padding=_get_padding(self.kernel_size, 1),
+                            dilation=1, weight_norm=self.weight_norm,
+                            kernel_init=normal_001_init, name=f"c2_{i}")
+                w1, b1 = c1.make_weights(self.channels)
+                w2, b2 = c2.make_weights(self.channels)
+                ws += [w1, w2]
+                bs += [b1, b2]
+            return fused_resblock(
+                x[0], tuple(ws), tuple(bs), kernel_size=self.kernel_size,
+                dilations=tuple(self.dilation))[None]
         for i, d in enumerate(self.dilation):
             xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
             if x_mask is not None:

@@ -1,0 +1,135 @@
+"""Pallas TPU kernel: fused HiFiGAN ResBlock1.
+
+A ResBlock1 (reference rvc/layers/residuals.py:19) is six convs with
+residual adds:
+
+    for d in dilations:  x += conv_1(lrelu(conv_d(lrelu(x))))
+
+Run as separate XLA convs, the (T, C) activation round-trips HBM ~12 times
+per block at audio rate (T up to ~10^6).  This kernel keeps the whole chain
+in VMEM: tiles of T with a halo wide enough for all six receptive fields,
+convs as unfold+matmul (contraction k*C — full MXU lanes even at C=32).
+
+Halo assembly uses three views of the same input (previous / current / next
+tile) via BlockSpec index maps, masked at the sequence edges, so no manual
+DMA is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LRELU_SLOPE = 0.1
+
+
+def _halo(kernel_size: int, dilations: Sequence[int]) -> int:
+    half = (kernel_size - 1) // 2
+    return sum(half * d + half for d in dilations)
+
+
+def _conv_same(x, w, b, dilation):
+    """Same-padded conv on a (L, C) VMEM value via unfold + one matmul."""
+    K, C, Cout = w.shape
+    L = x.shape[0]
+    p = (K - 1) // 2 * dilation
+    xp = jnp.pad(x, ((p, p), (0, 0)))
+    cols = [jax.lax.dynamic_slice_in_dim(xp, j * dilation, L, axis=0)
+            for j in range(K)]
+    unf = jnp.concatenate(cols, axis=-1)  # (L, K*C)
+    y = jnp.dot(unf, w.reshape(K * C, Cout),
+                preferred_element_type=jnp.float32)
+    return y + b
+
+
+def _kernel(x_prev_ref, x_cur_ref, x_next_ref, *refs,
+            tile: int, halo: int, dilations: Tuple[int, ...],
+            true_len: int):
+    n_d = len(dilations)
+    w_refs = refs[:2 * n_d]
+    b_refs = refs[2 * n_d:4 * n_d]
+    o_ref = refs[4 * n_d]
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    prev_tail = x_prev_ref[tile - halo:, :].astype(jnp.float32)
+    nxt_head = x_next_ref[:halo, :].astype(jnp.float32)
+    # zero the halos at sequence edges (first/last tile see themselves)
+    prev_tail = jnp.where(i == 0, 0.0, prev_tail)
+    nxt_head = jnp.where(i == n - 1, 0.0, nxt_head)
+    cur = jnp.concatenate(
+        [prev_tail, x_cur_ref[:].astype(jnp.float32), nxt_head], axis=0)
+
+    # rows outside the true sequence must stay exactly zero before every
+    # conv (each conv re-zero-pads in the unfused formulation; without this
+    # the bias of conv pair m leaks into pair m+1's receptive field)
+    grow = (jax.lax.broadcasted_iota(jnp.int32, (tile + 2 * halo, 1), 0)
+            + i * tile - halo)
+    valid = (grow >= 0) & (grow < true_len)
+
+    for m, d in enumerate(dilations):
+        cur = jnp.where(valid, cur, 0.0)
+        t = jax.nn.leaky_relu(cur, LRELU_SLOPE)
+        t = _conv_same(t, w_refs[2 * m][:].astype(jnp.float32),
+                       b_refs[2 * m][:].astype(jnp.float32), d)
+        t = jnp.where(valid, t, 0.0)
+        t = jax.nn.leaky_relu(t, LRELU_SLOPE)
+        t = _conv_same(t, w_refs[2 * m + 1][:].astype(jnp.float32),
+                       b_refs[2 * m + 1][:].astype(jnp.float32), 1)
+        cur = cur + t
+    o_ref[:] = cur[halo:halo + tile].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size", "dilations",
+                                              "tile", "interpret"))
+def fused_resblock(x, weights, biases, *, kernel_size: int,
+                   dilations: Tuple[int, ...] = (1, 3, 5), tile: int = 2048,
+                   interpret: bool = False):
+    """Fused ResBlock1.  x: (T, C); weights: 6 tensors (K, C, C) ordered
+    [c1_0, c2_0, c1_1, c2_1, c1_2, c2_2]; biases: 6 x (C,)."""
+    T, C = x.shape
+    halo = _halo(kernel_size, dilations)
+    assert halo <= tile, (halo, tile)
+    n = -(-T // tile)
+    T_pad = n * tile
+    xp = jnp.pad(x, ((0, T_pad - T), (0, 0)))
+
+    def imap_prev(i):
+        return (jnp.maximum(i - 1, 0), 0)
+
+    def imap_cur(i):
+        return (i, 0)
+
+    def imap_next(i):
+        return (jnp.minimum(i + 1, n - 1), 0)
+
+    in_specs = [
+        pl.BlockSpec((tile, C), imap_prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, C), imap_cur, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, C), imap_next, memory_space=pltpu.VMEM),
+    ]
+    K = kernel_size
+    for _ in range(6):
+        in_specs.append(pl.BlockSpec((K, C, C), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    for _ in range(6):
+        in_specs.append(pl.BlockSpec((C,), lambda i: (0,),
+                                     memory_space=pltpu.VMEM))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, tile=tile, halo=halo,
+                          dilations=tuple(dilations), true_len=T),
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, C), imap_cur,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_pad, C), x.dtype),
+        interpret=interpret,
+    )(xp, xp, xp, *weights, *biases)
+    return out[:T]
