@@ -40,8 +40,8 @@ def _conv_same(x, w, b, dilation):
     L = x.shape[0]
     p = (K - 1) // 2 * dilation
     xp = jnp.pad(x, ((p, p), (0, 0)))
-    cols = [jax.lax.dynamic_slice_in_dim(xp, j * dilation, L, axis=0)
-            for j in range(K)]
+    # static slices (Mosaic lowers lax.slice; dynamic_slice is unsupported)
+    cols = [xp[j * dilation: j * dilation + L] for j in range(K)]
     unf = jnp.concatenate(cols, axis=-1)  # (L, K*C)
     y = jnp.dot(unf, w.reshape(K * C, Cout),
                 preferred_element_type=jnp.float32)
