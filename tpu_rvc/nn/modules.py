@@ -294,9 +294,10 @@ class ResBlock1(nn.Module):
                 w2, b2 = c2.make_weights(self.channels)
                 ws += [w1, w2]
                 bs += [b1, b2]
+            tile = 2048 if self.channels <= 32 else 1024
             return fused_resblock(
                 x[0], tuple(ws), tuple(bs), kernel_size=self.kernel_size,
-                dilations=tuple(self.dilation))[None]
+                dilations=tuple(self.dilation), tile=tile)[None]
         for i, d in enumerate(self.dilation):
             xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
             if x_mask is not None:

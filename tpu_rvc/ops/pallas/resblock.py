@@ -40,12 +40,15 @@ def _conv_same(x, w, b, dilation):
     L = x.shape[0]
     p = (K - 1) // 2 * dilation
     xp = jnp.pad(x, ((p, p), (0, 0)))
-    # static slices (Mosaic lowers lax.slice; dynamic_slice is unsupported)
-    cols = [xp[j * dilation: j * dilation + L] for j in range(K)]
-    unf = jnp.concatenate(cols, axis=-1)  # (L, K*C)
-    y = jnp.dot(unf, w.reshape(K * C, Cout),
-                preferred_element_type=jnp.float32)
-    return y + b
+    # Per-tap matmul accumulation.  (A K-tap lane-concat + single matmul
+    # would give contraction K*C, but Mosaic's tpu.concatenate rejects
+    # inputs at different sublane offsets; the accumulation keeps everything
+    # VMEM-resident, which is the point of the fusion.)
+    y = jnp.broadcast_to(b, (L, Cout)).astype(jnp.float32)
+    for j in range(K):
+        tap = xp[j * dilation: j * dilation + L]
+        y = y + jnp.dot(tap, w[j], preferred_element_type=jnp.float32)
+    return y
 
 
 def _kernel(x_prev_ref, x_cur_ref, x_next_ref, *refs,
