@@ -294,7 +294,7 @@ class ResBlock1(nn.Module):
                 w2, b2 = c2.make_weights(self.channels)
                 ws += [w1, w2]
                 bs += [b1, b2]
-            tile = 2048 if self.channels <= 32 else 1024
+            tile = 1024  # lane padding to 128 makes small C cost the same
             return fused_resblock(
                 x[0], tuple(ws), tuple(bs), kernel_size=self.kernel_size,
                 dilations=tuple(self.dilation), tile=tile)[None]
