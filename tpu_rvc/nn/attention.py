@@ -29,11 +29,17 @@ PALLAS_ATTENTION = False
 
 
 class pallas_attention:
-    """Context manager enabling the fused kernel while tracing an
-    inference graph (no-op off-TPU)."""
+    """Context manager enabling the fused kernels while tracing an
+    inference graph (no-op off-TPU).
 
-    def __init__(self, enabled: bool = True):
+    resblocks defaults OFF: the fused ResBlock kernel is numerically exact
+    and compiles, but Mosaic's per-tap matmuls at C<=64 (25% contraction
+    utilization + lane padding) measured slower than XLA's im2col lowering
+    (39.6x vs 47x RTF); revisit with a lane-packed layout."""
+
+    def __init__(self, enabled: bool = True, resblocks: bool = False):
         self.enabled = enabled and jax.default_backend() == "tpu"
+        self.resblocks = resblocks and self.enabled
 
     def __enter__(self):
         global PALLAS_ATTENTION
@@ -41,7 +47,7 @@ class pallas_attention:
         self.prev = PALLAS_ATTENTION
         self.prev_rb = _modules.PALLAS_RESBLOCKS
         PALLAS_ATTENTION = self.enabled
-        _modules.PALLAS_RESBLOCKS = self.enabled
+        _modules.PALLAS_RESBLOCKS = self.resblocks
         return self
 
     def __exit__(self, *exc):
