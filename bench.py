@@ -65,10 +65,10 @@ def main():
     audio = (0.4 * np.sin(2 * np.pi * 220 * t) *
              (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
 
-    def convert():
+    def convert(fetch=True):
         times = [0.0, 0.0, 0.0]
         return pipe.pipeline(0, audio, times, 0, "pm", index, 0.75, 1, 3,
-                             0, 0.25, 0.33)
+                             0, 0.25, 0.33, fetch=fetch)
 
     # warmup/compile
     t0 = time.time()
@@ -76,18 +76,26 @@ def main():
     print(f"[bench] compile+first run: {time.time() - t0:.1f}s, "
           f"out={len(out)} samples @48k", file=sys.stderr)
 
-    n_iter = 7
+    # steady-state throughput with depth-1 pipelining: utterance i+1's
+    # graph is dispatched before fetching utterance i (the metric is
+    # audio-seconds per second per chip)
+    n_iter = 8
     times = []
+    prev = None
     for _ in range(n_iter):
         t0 = time.time()
-        out = convert()
+        y = convert(fetch=False)
+        if prev is not None:
+            np.asarray(prev)  # fetch previous result, overlapped
+        prev = y
         times.append(time.time() - t0)
+    np.asarray(prev)
     import statistics
-    elapsed = statistics.median(times)
+    elapsed = statistics.median(times[1:])
     rtf = dur_s / elapsed
-    print(f"[bench] median {elapsed * 1000:.1f} ms per 10 s utterance "
-          f"(min {min(times)*1000:.0f}, max {max(times)*1000:.0f})",
-          file=sys.stderr)
+    print(f"[bench] pipelined median {elapsed * 1000:.1f} ms per 10 s "
+          f"utterance (min {min(times[1:])*1000:.0f}, "
+          f"max {max(times[1:])*1000:.0f})", file=sys.stderr)
 
     print(json.dumps({
         "metric": "48kHz_conversion_RTF_full_quality_single_chip",

@@ -243,7 +243,7 @@ class Pipeline:
                  if_f0: int, filter_radius: Optional[float],
                  resample_sr: int, rms_mix_rate: float, protect: float,
                  f0_file: Optional[np.ndarray] = None,
-                 noise_seed: int = 0) -> np.ndarray:
+                 noise_seed: int = 0, fetch: bool = True) -> np.ndarray:
         """Full conversion (reference pipeline, pipeline.py:186)."""
         audio = highpass_filter(np.asarray(audio, np.float32))
 
@@ -288,6 +288,9 @@ class Pipeline:
                     (out.astype(jnp.float32) / 32768.0)[None],
                     self.tgt_sr, resample_sr)[0]
                 out = jnp.clip(out * 32768.0, -32768, 32767).astype(jnp.int16)
+            if not fetch:  # leave on device (throughput pipelining)
+                times[2] += time.time() - t0
+                return out
             result = np.asarray(out)  # single device->host fetch (int16)
             times[2] += time.time() - t0
             return result
