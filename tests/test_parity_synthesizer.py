@@ -145,3 +145,22 @@ def test_state_dict_roundtrip():
     for k, v in back.items():
         np.testing.assert_allclose(v, sd_norm[k], rtol=1e-6, atol=1e-7,
                                    err_msg=k)
+
+
+def test_mcd_vs_reference(monkeypatch):
+    """BASELINE acceptance framing: MCD between our output and the
+    reference's output on identical inputs/weights must be << 0.1 dB."""
+    from tpu_rvc.utils.mcd import mcd
+    zero_noise(monkeypatch)
+    ref, ours, variables = build_pair()
+    phone, pitch, pitchf, lengths, sid = make_inputs(T=120)
+    with torch.no_grad():
+        o_ref = ref.infer(torch.from_numpy(phone), torch.from_numpy(lengths),
+                          torch.from_numpy(sid), torch.from_numpy(pitch),
+                          torch.from_numpy(pitchf)).numpy()[0, 0]
+    o_ours = np.asarray(ours.apply(
+        variables, phone, jnp.asarray(lengths), jnp.asarray(sid),
+        jnp.asarray(pitch.astype(np.int32)), jnp.asarray(pitchf),
+        deterministic=True, method=Synthesizer.infer))[0, :, 0]
+    d = mcd(o_ours, o_ref, CFG["sr"])
+    assert d < 0.01, f"MCD {d:.4f} dB"  # target is < 0.1 dB; we are ~0
