@@ -184,3 +184,36 @@ def test_device_f0_matches_host_path():
     # voiced interior must agree closely (edges may differ by a frame)
     np.testing.assert_allclose(f_d[10:90], f_h[10:90], rtol=2e-3)
     assert (np.abs(c_d[10:90].astype(int) - c_h[10:90].astype(int)) <= 1).all()
+
+
+def test_world_dio_harmonic_rich_and_vibrato():
+    """WORLD-style DIO: correct on harmonic-rich sources (where naive
+    autocorrelation octave-errors), unvoiced on silence/noise, vibrato
+    tracked."""
+    from tpu_rvc.f0.world import dio as world_dio, stonemask, harvest
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    for hz in (110.0, 233.7, 391.1):
+        saw = (2 * ((hz * t) % 1.0) - 1).astype(np.float32)
+        f0, times = world_dio(saw, sr)
+        v = f0[20:80]
+        assert (v > 0).all()
+        assert abs(np.median(v) - hz) < 3.0, (hz, np.median(v))
+        refined = stonemask(saw, sr, f0, times)
+        assert abs(np.median(refined[20:80]) - hz) < 3.0
+
+    # silence and white noise must be unvoiced almost everywhere
+    f0s, _ = world_dio(np.zeros(sr, np.float32), sr)
+    assert (f0s > 0).sum() == 0
+    rng_l = np.random.default_rng(0)
+    f0n, _ = world_dio(rng_l.standard_normal(sr).astype(np.float32), sr)
+    assert (f0n > 0).mean() < 0.2
+
+    # vibrato: 220 Hz +-5 Hz at 5 Hz rate tracked within range
+    vib = np.sin(2 * np.pi * (220 * t + 1.0 * np.sin(2 * np.pi * 5 * t))
+                 ).astype(np.float32)
+    f0v, _ = harvest(vib, sr)
+    voiced = f0v[f0v > 0]
+    assert 210 < voiced.min() and voiced.max() < 230
+    assert voiced.max() - voiced.min() > 5  # modulation visible

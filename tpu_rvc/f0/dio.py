@@ -1,12 +1,7 @@
-"""DIO-role estimator (reference rvc/f0/dio.py:9 wraps pyworld C++ DIO +
-stonemask).
-
-A faithful WORLD DIO port is tracked for a later round; this implementation
-fills the `dio` flag with the JAX autocorrelation core tuned for DIO-like
-behavior (fast, lower voicing threshold, stonemask-style refinement by
-re-estimating each frame's period from the raw autocorrelation around the
-candidate — which is what stonemask's instantaneous-frequency refinement
-converges to for clean speech)."""
+"""DIO estimator (reference rvc/f0/dio.py:9 wraps pyworld C++ DIO +
+stonemask; here served by the native WORLD-style implementation in
+tpu_rvc/f0/world.py — band-filtered four-interval analysis, contour fixing,
+and exact-frequency instantaneous-frequency refinement)."""
 
 from __future__ import annotations
 
@@ -14,10 +9,8 @@ from typing import Optional
 
 import numpy as np
 
-from .base import F0Predictor, interpolate_f0
-from .pm import _pm_f0
-
-import jax.numpy as jnp
+from .base import F0Predictor, interpolate_f0, resize_f0
+from .world import dio as world_dio, stonemask
 
 
 class Dio(F0Predictor):
@@ -26,13 +19,9 @@ class Dio(F0Predictor):
         wav = np.asarray(wav, np.float32)
         if p_len is None:
             p_len = wav.shape[0] // self.hop_length
-        win = int(4 * self.sampling_rate / self.f0_min)
-        win -= win % 2
-        pad = win // 2
-        wav_p = np.pad(wav, (pad, pad), mode="reflect")
-        f0 = np.asarray(_pm_f0(jnp.asarray(wav_p), self.sampling_rate,
-                               self.hop_length, win,
-                               float(self.f0_min), float(self.f0_max),
-                               voicing_threshold=0.45))
-        f0 = self._fit_length(f0, p_len)
-        return interpolate_f0(f0)[0]
+        frame_ms = self.hop_length / self.sampling_rate * 1000.0
+        f0, times = world_dio(wav, self.sampling_rate,
+                              f0_floor=self.f0_min, f0_ceil=self.f0_max,
+                              frame_period_ms=frame_ms)
+        f0 = stonemask(wav, self.sampling_rate, f0, times)
+        return interpolate_f0(resize_f0(f0, p_len))[0]

@@ -1,13 +1,9 @@
-"""Harvest-role estimator (reference rvc/f0/harvest.py:10 wraps pyworld
-Harvest + stonemask + scipy medfilt).
-
-Same JAX autocorrelation core at a Harvest-like operating point (longer
-analysis window, permissive voicing) followed by the reference's median
-filter (applied when filter_radius > 2, reference harvest.py:26).  The
-realtime GUI ran reference Harvest in an 8-process pool because the C++
-implementation is slow (gui.py:51-72); on TPU this whole path is one jitted
-call and needs no pool.  A faithful WORLD port is tracked for a later round.
-"""
+"""Harvest estimator (reference rvc/f0/harvest.py:10 wraps pyworld Harvest
++ stonemask + scipy medfilt; here the native WORLD-style implementation at
+a denser band resolution, with the reference's median filter applied when
+filter_radius > 2).  The realtime GUI ran reference Harvest in an 8-process
+pool because the C++ implementation is slow (gui.py:51-72); this
+implementation needs no pool."""
 
 from __future__ import annotations
 
@@ -15,10 +11,8 @@ from typing import Optional
 
 import numpy as np
 
-from .base import F0Predictor, interpolate_f0
-from .pm import _pm_f0
-
-import jax.numpy as jnp
+from .base import F0Predictor, interpolate_f0, resize_f0
+from .world import harvest as world_harvest
 
 
 def median_filter_1d(x: np.ndarray, radius: int) -> np.ndarray:
@@ -37,15 +31,11 @@ class Harvest(F0Predictor):
         wav = np.asarray(wav, np.float32)
         if p_len is None:
             p_len = wav.shape[0] // self.hop_length
-        win = int(6 * self.sampling_rate / self.f0_min)
-        win -= win % 2
-        pad = win // 2
-        wav_p = np.pad(wav, (pad, pad), mode="reflect")
-        f0 = np.asarray(_pm_f0(jnp.asarray(wav_p), self.sampling_rate,
-                               self.hop_length, win,
-                               float(self.f0_min), float(self.f0_max),
-                               voicing_threshold=0.375))
-        f0 = self._fit_length(f0, p_len)
+        frame_ms = self.hop_length / self.sampling_rate * 1000.0
+        f0, _ = world_harvest(wav, self.sampling_rate,
+                              f0_floor=self.f0_min, f0_ceil=self.f0_max,
+                              frame_period_ms=frame_ms)
+        f0 = resize_f0(f0, p_len)
         if filter_radius is not None and filter_radius > 2:
             f0 = median_filter_1d(f0, int(filter_radius))
         return interpolate_f0(f0)[0]
