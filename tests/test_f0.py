@@ -210,10 +210,10 @@ def test_world_dio_harmonic_rich_and_vibrato():
     f0n, _ = world_dio(rng_l.standard_normal(sr).astype(np.float32), sr)
     assert (f0n > 0).mean() < 0.2
 
-    # vibrato: 220 Hz +-5 Hz at 5 Hz rate tracked within range
+    # vibrato: phase 220t + sin(2pi 5t) -> inst freq 220 +- 10pi Hz
     vib = np.sin(2 * np.pi * (220 * t + 1.0 * np.sin(2 * np.pi * 5 * t))
                  ).astype(np.float32)
     f0v, _ = harvest(vib, sr)
     voiced = f0v[f0v > 0]
-    assert 210 < voiced.min() and voiced.max() < 230
-    assert voiced.max() - voiced.min() > 5  # modulation visible
+    assert 180 < voiced.min() and voiced.max() < 260
+    assert voiced.max() - voiced.min() > 30  # modulation tracked
