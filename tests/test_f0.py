@@ -217,3 +217,48 @@ def test_world_dio_harmonic_rich_and_vibrato():
     voiced = f0v[f0v > 0]
     assert 180 < voiced.min() and voiced.max() < 260
     assert voiced.max() - voiced.min() > 30  # modulation tracked
+
+
+def test_rmvpe_device_decode_matches_host():
+    """Device-side RMVPE decode/resize parity vs the host numpy path."""
+    from tpu_rvc.f0.device import to_local_average_cents_jax, resize_f0_jax
+    from tpu_rvc.f0.rmvpe import to_local_average_cents
+
+    rng_l = np.random.default_rng(7)
+    sal = rng_l.uniform(0, 1, (40, 360)).astype(np.float32)
+    sal[5] *= 0.01  # below-threshold frame
+    host = to_local_average_cents(sal, threshold=0.05)
+    dev = np.asarray(to_local_average_cents_jax(jnp.asarray(sal), 0.05))
+    np.testing.assert_allclose(dev, host, rtol=1e-5)
+
+    f0 = np.array([100.0, 0.0, 200.0, 300.0, 250.0], np.float32)
+    host_r = resize_f0(f0, 12)
+    dev_r = np.asarray(resize_f0_jax(jnp.asarray(f0), 12))
+    np.testing.assert_allclose(dev_r, host_r, rtol=1e-4, atol=1e-3)
+
+
+def test_rmvpe_f0_device_full_chain_matches_host():
+    """rmvpe_f0_device (mel -> E2E -> decode -> resize -> interpolate ->
+    post_process, all in-graph) vs the host RMVPE estimator + gen chain,
+    sharing one set of random E2E weights."""
+    from tpu_rvc.models.rmvpe import E2E
+    from tpu_rvc.f0.rmvpe import RMVPE
+    from tpu_rvc.f0.device import rmvpe_f0_device
+
+    m = E2E()
+    variables = m.init(jax.random.PRNGKey(3),
+                       jnp.zeros((1, 128, 32), jnp.float32))
+    est = RMVPE(variables=variables)
+
+    wav = tone(196.0, dur=1.0)
+    p_len = 100
+    f0_host = est.compute_f0(wav, p_len=p_len)
+    c_h, f_h = post_process(100, f0_host.copy(), 2, 0)
+
+    c_d, f_d = jax.jit(
+        lambda v, w: rmvpe_f0_device(w, p_len, jnp.asarray(2.0), m, v)
+    )(variables, jnp.asarray(wav))
+    c_d, f_d = np.asarray(c_d), np.asarray(f_d)
+    assert c_d.shape == (p_len,)
+    np.testing.assert_allclose(f_d, f_h, rtol=1e-3, atol=0.5)
+    assert (np.abs(c_d.astype(int) - c_h.astype(int)) <= 1).all()

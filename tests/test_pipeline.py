@@ -205,3 +205,29 @@ def test_small_model_save_load_merge(tmp_path):
     np.testing.assert_allclose(
         np.asarray(m["weight"]["emb_g.weight"], np.float32),
         np.asarray(sd["emb_g.weight"], np.float32), rtol=1e-2, atol=1e-3)
+
+
+def test_pipeline_fused_rmvpe_path(small_pipeline):
+    """f0_method="rmvpe" takes the fused single-dispatch path with the E2E
+    salience net running in-graph (weights as jit arguments)."""
+    from tpu_rvc.models.rmvpe import E2E
+    from tpu_rvc.f0.rmvpe import RMVPE
+
+    tiny = E2E(n_blocks=1, n_gru=1, en_de_layers=2, inter_layers=1,
+               en_out_channels=4)
+    variables = tiny.init(jax.random.PRNGKey(5),
+                          jnp.zeros((1, 128, 32), jnp.float32))
+    est = RMVPE.__new__(RMVPE)  # skip checkpoint loading
+    est.model, est.variables = tiny, variables
+    est.hop_length, est.sampling_rate = 160, 16000
+    small_pipeline.f0_gen._estimators["rmvpe"] = est
+
+    times = [0.0, 0.0, 0.0]
+    out = small_pipeline.pipeline(
+        0, tone(), times, 0, "rmvpe", None, 0.0, 1, 3, 0, 0.25, 0.33)
+    assert out.dtype == np.int16
+    assert abs(len(out) - 32000) < 1600
+    assert np.isfinite(out.astype(np.float32)).all()
+    # the fused graph must be cached under the rmvpe mode key
+    assert any(isinstance(k, tuple) and k and k[0] == "full" and
+               k[-1] == "rmvpe" for k in small_pipeline._graphs)

@@ -111,3 +111,31 @@ def test_stream_session_with_noise_reduce(engine):
     out = np.concatenate(outs)
     assert np.isfinite(out).all()
     assert out.shape[0] == len(outs) * sess.block_frame
+
+
+def test_stream_session_fused_rmvpe(engine):
+    """f0method="rmvpe" rides the fused single-dispatch stream graph with
+    the E2E salience net in-graph (tiny random weights injected)."""
+    from tpu_rvc.models.rmvpe import E2E
+    from tpu_rvc.f0.rmvpe import RMVPE
+
+    tiny = E2E(n_blocks=1, n_gru=1, en_de_layers=2, inter_layers=1,
+               en_out_channels=4)
+    variables = tiny.init(jax.random.PRNGKey(5),
+                          jnp.zeros((1, 128, 32), jnp.float32))
+    est = RMVPE.__new__(RMVPE)  # skip checkpoint loading
+    est.model, est.variables = tiny, variables
+    est.hop_length, est.sampling_rate = 160, 16000
+    engine.f0_gen._estimators["rmvpe"] = est
+
+    sess = StreamSession(engine, samplerate=16000, block_time=0.16,
+                         crossfade_time=0.04, extra_time=0.5,
+                         f0method="rmvpe", rms_mix_rate=1.0)
+    assert sess._fused is not None  # took the fused path
+    audio = tone(dur=1.0, sr=16000)
+    outs = []
+    for i in range(0, len(audio) - sess.block_frame + 1, sess.block_frame):
+        outs.append(sess.feed(audio[i: i + sess.block_frame]))
+    out = np.concatenate(outs)
+    assert np.isfinite(out).all()
+    assert out.shape[0] == len(outs) * sess.block_frame

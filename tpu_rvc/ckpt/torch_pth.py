@@ -105,6 +105,11 @@ def _rebuild_from_type_v2(func, new_type, args, state):
     return func(*args)
 
 
+class _AttrDict(dict):
+    """Stand-in for collections.OrderedDict in torch pickles: a plain dict
+    that tolerates attribute state (e.g. state_dict._metadata)."""
+
+
 class _TorchUnpickler(pickle.Unpickler):
     def __init__(self, file, storage_loader):
         super().__init__(file, encoding="latin1")
@@ -131,7 +136,9 @@ class _TorchUnpickler(pickle.Unpickler):
             _Inert.__name__ = name
             return _Inert
         if module == "collections" and name == "OrderedDict":
-            return dict
+            # dict subclass (not plain dict): torch state_dicts carry a
+            # `_metadata` attribute that pickle BUILD sets via __dict__
+            return _AttrDict
         if module in ("numpy", "numpy.core.multiarray", "numpy._core.multiarray"):
             import numpy as _np
             mod = __import__(module, fromlist=[name])

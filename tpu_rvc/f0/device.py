@@ -81,3 +81,61 @@ def pm_f0_device(wav: jax.Array, p_len: int, f0_up_key, sr: int = 16000,
         f0 = jnp.pad(f0, (left, p_len - m - left))
     f0 = interpolate_f0_jax(f0)
     return post_process_jax(f0, f0_up_key, f0_min, f0_max)
+
+
+def to_local_average_cents_jax(salience: jax.Array,
+                               threshold: float = 0.05) -> jax.Array:
+    """Device-side RMVPE decode (f0/rmvpe.py to_local_average_cents parity):
+    salience (T, 360) -> cents, 0 below threshold."""
+    cents_mapping = jnp.asarray(20.0 * jnp.arange(360) + 1997.3794084376191)
+    cents_p = jnp.pad(cents_mapping, (4, 4))
+    sal_p = jnp.pad(salience, ((0, 0), (4, 4)))
+    center = jnp.argmax(salience, axis=1) + 4
+    idx = center[:, None] + jnp.arange(-4, 5)[None, :]
+    rows = jnp.arange(salience.shape[0])[:, None]
+    todo_sal = sal_p[rows, idx]
+    todo_cents = cents_p[idx]
+    divided = (todo_sal * todo_cents).sum(1) / todo_sal.sum(1)
+    maxx = salience.max(axis=1)
+    return jnp.where(maxx > threshold, divided, 0.0)
+
+
+def resize_f0_jax(f0: jax.Array, target_len: int) -> jax.Array:
+    """Device-side f0 resize (base.resize_f0 parity): NaN-mask unvoiced,
+    linear resample, zero-fill."""
+    n = f0.shape[0]
+    src = jnp.where(f0 < 0.001, jnp.nan, f0.astype(jnp.float32))
+    pos = jnp.arange(target_len) * (n / target_len)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 1)
+    hi = jnp.clip(lo + 1, 0, n - 1)
+    frac = (pos - lo).astype(jnp.float32)
+    out = src[lo] * (1 - frac) + src[hi] * frac
+    # exact grid points must not pull NaN in from the other endpoint
+    # (0 * NaN = NaN would zero a voiced frame)
+    out = jnp.where(frac == 0, src[lo], out)
+    # np.interp-style edge hold beyond the last source point
+    out = jnp.where(pos >= n - 1, src[n - 1], out)
+    return jnp.nan_to_num(out)
+
+
+def rmvpe_f0_device(wav: jax.Array, p_len: int, f0_up_key,
+                    rmvpe_model, rmvpe_vars, threshold: float = 0.03,
+                    dtype=jnp.float32):
+    """Fully device-side RMVPE pitch: mel -> E2E -> local-average decode ->
+    resize -> interpolate -> transpose -> quantize.  wav: (T,) @16k."""
+    from tpu_rvc.f0.rmvpe import rmvpe_mel
+
+    mel = rmvpe_mel(wav[None])
+    n_frames = mel.shape[-1]
+    n_pad = 32 * ((n_frames - 1) // 32 + 1) - n_frames
+    melp = jnp.pad(mel, ((0, 0), (0, 0), (0, n_pad)))
+    hidden = rmvpe_model.apply(rmvpe_vars, melp.astype(dtype))[0]
+    hidden = hidden[:n_frames].astype(jnp.float32)
+    cents = to_local_average_cents_jax(hidden, threshold)
+    f0 = 10.0 * (2.0 ** (cents / 1200.0))
+    f0 = jnp.where(f0 == 10.0, 0.0, f0)
+    f0 = resize_f0_jax(f0, p_len)
+    f0 = interpolate_f0_jax(f0)
+    # quantization range is the global F0_MIN/F0_MAX (gen.py defaults),
+    # NOT the estimator's 30-8000 Hz search range
+    return post_process_jax(f0, f0_up_key)

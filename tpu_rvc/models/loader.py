@@ -62,8 +62,10 @@ def load_synthesizer(path: str) -> Tuple[Synthesizer, Dict[str, Any], Dict]:
     sd = cpt["weight"]
     config[-3] = sd["emb_g.weight"].shape[0]
     mod = synthesizer_from_config(config, version, use_f0, weight_norm=False)
+    # small models store fp16 on disk; compute dtype is set by the caller
+    # (bf16/f32) — f16 params would leak into kernels TPU Mosaic rejects
     params = synthesizer_params_from_state_dict(
-        {k: np.asarray(v) for k, v in sd.items()},
+        {k: np.asarray(v, np.float32) for k, v in sd.items()},
         n_layers=mod.n_layers,
         n_ups=len(mod.upsample_rates),
         num_kernels=len(mod.resblock_kernel_sizes),

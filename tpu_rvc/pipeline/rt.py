@@ -250,17 +250,25 @@ class StreamSession:
             self.nr_buffer = np.zeros(self.sola_buffer_frame, np.float32)
             self.output_buffer = np.zeros(total, np.float32)
         # single-dispatch fused path (device-resident state); host fallback
-        # covers noise-reduce / rms-mix / non-pm-f0 configurations
+        # covers noise-reduce / rms-mix / other-f0 configurations
         self._fused = None
-        if (fused and engine.if_f0 in (0, 1) and f0method == "pm"
+        if (fused and engine.if_f0 in (0, 1)
+                and f0method in ("pm", "rmvpe")
                 and not input_noise_reduce and not output_noise_reduce
                 and rms_mix_rate >= 1.0 and engine.formant_shift == 0):
-            self._fused = FusedStreamGraph(
-                engine, stream_sr=samplerate, block_frame=self.block_frame,
-                ctx_frame=2 * self.zc, total_len=total,
-                skip_head=self.skip_head, return_length=self.return_length,
-                f0method=f0method, protect=protect)
-            self._fused_state = self._fused.init_state()
+            try:
+                self._fused = FusedStreamGraph(
+                    engine, stream_sr=samplerate,
+                    block_frame=self.block_frame,
+                    ctx_frame=2 * self.zc, total_len=total,
+                    skip_head=self.skip_head,
+                    return_length=self.return_length,
+                    f0method=f0method, protect=protect)
+                self._fused_state = self._fused.init_state()
+            except Exception:
+                # e.g. rmvpe checkpoint unavailable: the host path will
+                # surface the same error lazily, matching reference behavior
+                self._fused = None
 
     def feed(self, block: np.ndarray) -> np.ndarray:
         """Process one block (len == block_frame at stream sr)."""
@@ -397,7 +405,12 @@ class FusedStreamGraph:
         self.f0method = f0method
         self.protect = protect
         self.use_f0 = engine.if_f0 == 1
-        self._jit = jax.jit(self._run, donate_argnums=(2,))
+        if self.use_f0 and f0method == "rmvpe":
+            est = engine.f0_gen._get("rmvpe")
+            self._rmvpe_model, self._rmvpe_vars = est.model, est.variables
+        else:
+            self._rmvpe_model, self._rmvpe_vars = None, {}
+        self._jit = jax.jit(self._run, donate_argnums=(3,))
         self._step = 0
 
     def init_state(self):
@@ -407,8 +420,8 @@ class FusedStreamGraph:
             "cache_pitchf": jnp.zeros(1024, jnp.float32),
         }
 
-    def _run(self, hubert_vars, synth_vars, state, seg48, index_vecs,
-             index_sq, index_rate, up_key, protect, noise_key):
+    def _run(self, hubert_vars, synth_vars, rmvpe_vars, state, seg48,
+             index_vecs, index_sq, index_rate, up_key, protect, noise_key):
         eng = self.engine
         # 1. resample fresh segment to 16k, roll window state
         seg16 = resample_poly(seg48[None], self.stream_sr, SR)[0]
@@ -421,11 +434,21 @@ class FusedStreamGraph:
 
         # 2. f0 on the tail + pitch cache roll (rtrvc.py:199-217)
         if self.use_f0:
-            from tpu_rvc.f0.device import pm_f0_device
+            from tpu_rvc.f0.device import pm_f0_device, rmvpe_f0_device
             f0_frame = self.block_16k + 800
+            if self.f0method == "rmvpe":
+                # rmvpe tail padded to the reference's 5120-sample grid
+                # (rtrvc.py:201-204)
+                f0_frame = 5120 * ((f0_frame - 1) // 5120 + 1) - WINDOW
+            f0_frame = min(f0_frame, self.total_16k)
             tail = jax.lax.dynamic_slice_in_dim(
                 wav16, self.total_16k - f0_frame, f0_frame)
-            c, f = pm_f0_device(tail, f0_frame // WINDOW, up_key)
+            if self.f0method == "rmvpe":
+                c, f = rmvpe_f0_device(tail, f0_frame // WINDOW, up_key,
+                                       self._rmvpe_model, rmvpe_vars,
+                                       dtype=eng.dtype)
+            else:
+                c, f = pm_f0_device(tail, f0_frame // WINDOW, up_key)
             shift = self.block_16k // WINDOW
             n_keep = c.shape[0] - 4
             cache_pitch = jnp.concatenate(
@@ -490,7 +513,8 @@ class FusedStreamGraph:
                         jnp.zeros((1,), jnp.float32))
         self._step += 1
         out, new_state = self._jit(
-            eng.hubert_vars, eng.synth_vars, state, jnp.asarray(seg48),
+            eng.hubert_vars, eng.synth_vars, self._rmvpe_vars, state,
+            jnp.asarray(seg48),
             vecs, sq, jnp.asarray(eng.index_rate, jnp.float32),
             jnp.asarray(float(eng.f0_up_key)),
             jnp.asarray(self.protect, jnp.float32),

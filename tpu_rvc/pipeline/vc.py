@@ -137,12 +137,14 @@ class Pipeline:
 
     # ------------------------------------------------------------------
     def _full_graph(self, L: int, use_f0: bool, has_index: bool,
-                    protect_on: bool):
+                    protect_on: bool, f0_mode: str = "pm"):
         """ONE jitted program for the common single-chunk utterance:
         device-side f0 + conversion + pad trimming.  Minimizes dispatch
         round-trips (each costs tunnel RTT on remote-attached devices):
-        one upload, one call, one fetch."""
-        key = ("full", L, use_f0, has_index, protect_on)
+        one upload, one call, one fetch.  f0_mode selects the in-graph
+        estimator: "pm" (autocorrelation) or "rmvpe" (E2E salience net;
+        its weights ride in as the rmvpe_vars jit argument)."""
+        key = ("full", L, use_f0, has_index, protect_on, f0_mode)
         if key in self._graphs:
             return self._graphs[key]
         bucket = _bucket(L)
@@ -151,13 +153,21 @@ class Pipeline:
         upsample = math.prod(self.synth.upsample_rates)
         p_len_static = min(bucket // WINDOW, 2 * ((bucket - 400) // 320 + 1))
         true_frames = min(p_len, p_len_static)
+        rmvpe_model = (self.f0_gen._get("rmvpe").model
+                       if use_f0 and f0_mode == "rmvpe" else None)
 
-        def run_full(hubert_vars, synth_vars, audio, up_key, sid,
+        def run_full(hubert_vars, synth_vars, rmvpe_vars, audio, up_key, sid,
                      index_vecs, index_sq, index_rate, protect, rms_mix_rate,
                      noise_key):
             if use_f0:
-                from tpu_rvc.f0.device import pm_f0_device
-                pitch, pitchf = pm_f0_device(audio, p_len, up_key)
+                if f0_mode == "rmvpe":
+                    from tpu_rvc.f0.device import rmvpe_f0_device
+                    pitch, pitchf = rmvpe_f0_device(
+                        audio, p_len, up_key, rmvpe_model, rmvpe_vars,
+                        dtype=self.dtype)
+                else:
+                    from tpu_rvc.f0.device import pm_f0_device
+                    pitch, pitchf = pm_f0_device(audio, p_len, up_key)
                 pit = jnp.zeros(p_len_static, jnp.int32).at[:p_len].set(
                     pitch[:p_len_static])
                 pitf = jnp.zeros(p_len_static, jnp.float32).at[:p_len].set(
@@ -263,7 +273,8 @@ class Pipeline:
 
         # fused fast path: single chunk + device-side f0 -> ONE device call
         if (not opt_ts and f0_file is None and
-                (if_f0 == 0 or (if_f0 == 1 and f0_method == "pm"))):
+                (if_f0 == 0 or
+                 (if_f0 == 1 and f0_method in ("pm", "rmvpe")))):
             use_f0 = bool(if_f0)
             has_index = index is not None and index_rate > 0
             protect_on = use_f0 and protect < 0.5
@@ -274,9 +285,13 @@ class Pipeline:
                 vecs, sq = (jnp.zeros((1, d), jnp.float32),
                             jnp.zeros((1,), jnp.float32))
             L = audio_pad.shape[0]
-            graph = self._full_graph(L, use_f0, has_index, protect_on)
+            f0_mode = f0_method if use_f0 else "pm"
+            graph = self._full_graph(L, use_f0, has_index, protect_on,
+                                     f0_mode)
+            rmvpe_vars = (self.f0_gen._get("rmvpe").variables
+                          if use_f0 and f0_mode == "rmvpe" else {})
             t0 = time.time()
-            out = graph(self.hubert_vars, self.synth_vars,
+            out = graph(self.hubert_vars, self.synth_vars, rmvpe_vars,
                         jnp.asarray(audio_pad),
                         jnp.asarray(float(f0_up_key)), jnp.asarray(sid),
                         vecs, sq, jnp.asarray(index_rate, jnp.float32),

@@ -147,6 +147,9 @@ class RVCDataset:
         if os.path.exists(spec_path):
             try:
                 spec = np.load(spec_path)
+                # reject caches written under a different STFT config
+                if spec.ndim != 2 or spec.shape[1] != d.filter_length // 2 + 1:
+                    spec = None
             except Exception:
                 spec = None
         if spec is None:
