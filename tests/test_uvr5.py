@@ -159,3 +159,38 @@ def test_mdxnet_demix_machinery(tmp_path):
     interior = slice(sr // 4, -sr // 4)
     err = np.abs(out[:, interior] - mix[:, interior]).max()
     assert err < 0.05, err
+
+
+def test_load_separator_dispatch(monkeypatch):
+    """Model-name routing parity with reference vr.py:22-39 / modules.py:27."""
+    import tpu_rvc.pipeline.uvr5 as u
+    import tpu_rvc.ckpt.uvr5_loader as ld
+
+    calls = {}
+
+    class _Dummy:
+        offset = 8
+
+    def _fake(kind):
+        def f(p, n_fft=0):
+            calls[kind] = n_fft
+            return _Dummy(), {}
+        return f
+
+    monkeypatch.setattr(ld, "load_cascaded_aspp", _fake("aspp"))
+    monkeypatch.setattr(ld, "load_deecho", _fake("deecho"))
+
+    sep = u.load_separator("/x/HP5_only_main_vocal.pth")
+    assert isinstance(sep, u.UVR5Separator) and not sep.is_reverse
+    assert calls["aspp"] == 1344  # 4band_v2 bins*2
+
+    sep = u.load_separator("/x/HP3_all_vocals.pth")
+    assert sep.is_reverse  # HP3 swaps outputs
+
+    sep = u.load_separator("/x/VR-DeEchoDeReverb.pth")
+    assert sep.is_reverse
+    assert calls["deecho"] == 1344  # 4band_v3 bins*2
+    assert sep.mp.param["bins"] == 672
+
+    with pytest.raises(FileNotFoundError):
+        u.load_separator("/x/onnx_dereverb_By_FoxJoy")  # needs vocals.onnx

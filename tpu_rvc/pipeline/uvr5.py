@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import math
 import os
+from functools import partial
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
@@ -45,17 +46,34 @@ class ModelParameters:
             self.param.setdefault(k, False)
 
 
+# complex arrays must not cross the host<->device boundary: the TPU
+# runtime's transfer path rejects complex program inputs/outputs
+# (UNIMPLEMENTED) — ship (real, imag) float pairs and pair them host-side
+@partial(jax.jit, static_argnums=(1, 2))
+def _stft_pair(w, n_fft: int, hop: int):
+    s = jstft(w, n_fft, hop)
+    return s.real, s.imag
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _istft_pair(re, im, hop: int):
+    n_fft = (re.shape[1] - 1) * 2
+    return jistft(jax.lax.complex(re, im), n_fft, hop)
+
+
 def _stft_stereo(wave: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
     """(2, T) -> (2, F, frames) complex (librosa.stft center=True parity)."""
     pad = n_fft // 2
     w = np.pad(wave, ((0, 0), (pad, pad)), mode="reflect")
-    spec = np.asarray(jstft(jnp.asarray(w), n_fft, hop))
-    return spec
+    re, im = _stft_pair(jnp.asarray(w), n_fft, hop)
+    return np.asarray(re) + 1j * np.asarray(im)
 
 
 def _istft_stereo(spec: np.ndarray, hop: int) -> np.ndarray:
     n_fft = (spec.shape[1] - 1) * 2
-    y = np.asarray(jistft(jnp.asarray(spec), n_fft, hop))
+    spec = np.asarray(spec, np.complex64)
+    y = np.asarray(_istft_pair(jnp.asarray(spec.real), jnp.asarray(spec.imag),
+                               hop))
     pad = n_fft // 2
     return y[:, pad:-pad]
 
@@ -291,3 +309,32 @@ def load_uvr5_model(model_path: str, param_name: str = "4band_v2.json",
     mp = ModelParameters(param_name)
     model, variables = load_cascaded_aspp(model_path)
     return UVR5Separator(model, variables, mp, agg=agg, tta=tta)
+
+
+def load_separator(model_path: str, agg: float = 10.0, tta: bool = False):
+    """Model-name dispatch (reference vr.py:22-39 + uvr5/modules.py:27):
+    - onnx_dereverb_By_FoxJoy -> MDXNetDereverb
+    - *DeEcho*/*DeReverb* -> CascadedNet + 4band_v3, outputs swapped
+    - otherwise (HP2/HP3/HP5 ...) -> CascadedASPPNet + 4band_v2,
+      HP3 outputs swapped
+    """
+    import os
+    name = os.path.basename(model_path)
+    if "onnx_dereverb" in model_path or name == "vocals.onnx":
+        from .mdxnet import MDXNetDereverb
+        onnx_dir = (os.path.dirname(model_path)
+                    if model_path.endswith(".onnx") else model_path)
+        return MDXNetDereverb(onnx_dir)
+    if "DeEcho" in name or "DeReverb" in name:
+        from tpu_rvc.ckpt.uvr5_loader import load_deecho
+        mp = ModelParameters("4band_v3.json")
+        model, variables = load_deecho(model_path,
+                                       n_fft=mp.param["bins"] * 2)
+        return UVR5Separator(model, variables, mp, agg=agg, tta=tta,
+                             is_reverse=True)
+    from tpu_rvc.ckpt.uvr5_loader import load_cascaded_aspp
+    mp = ModelParameters("4band_v2.json")
+    model, variables = load_cascaded_aspp(model_path,
+                                          n_fft=mp.param["bins"] * 2)
+    return UVR5Separator(model, variables, mp, agg=agg, tta=tta,
+                         is_reverse="HP3" in name)
