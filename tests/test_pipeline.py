@@ -231,3 +231,29 @@ def test_pipeline_fused_rmvpe_path(small_pipeline):
     # the fused graph must be cached under the rmvpe mode key
     assert any(isinstance(k, tuple) and k and k[0] == "full" and
                k[-1] == "rmvpe" for k in small_pipeline._graphs)
+
+
+def test_pipeline_fused_fcpe_path(small_pipeline):
+    """f0_method="fcpe": fused in-graph when a native model is present,
+    silent downgrade to the pm graph when only the fallback exists."""
+    from tpu_rvc.models.fcpe import CFNaiveMelPE
+    from tpu_rvc.f0.fcpe import FCPE
+
+    tiny = CFNaiveMelPE(in_dims=128, hidden_dims=32, out_dims=60, n_layers=1)
+    variables = tiny.init(jax.random.PRNGKey(6),
+                          jnp.zeros((1, 20, 128), jnp.float32))
+    small_pipeline.f0_gen._estimators["fcpe"] = FCPE(model=tiny,
+                                                     variables=variables)
+    times = [0.0, 0.0, 0.0]
+    out = small_pipeline.pipeline(
+        0, tone(), times, 0, "fcpe", None, 0.0, 1, 3, 0, 0.25, 0.33)
+    assert out.dtype == np.int16 and abs(len(out) - 32000) < 1600
+    assert any(isinstance(k, tuple) and k and k[0] == "full" and
+               k[-1] == "fcpe" for k in small_pipeline._graphs)
+
+    # fallback estimator (no ckpt) -> pm-mode fused graph, still works
+    small_pipeline.f0_gen._estimators["fcpe"] = FCPE(
+        model_path="/nonexistent.pt")
+    out2 = small_pipeline.pipeline(
+        0, tone(), times, 0, "fcpe", None, 0.0, 1, 3, 0, 0.25, 0.33)
+    assert out2.dtype == np.int16 and abs(len(out2) - 32000) < 1600

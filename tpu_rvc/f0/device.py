@@ -139,3 +139,17 @@ def rmvpe_f0_device(wav: jax.Array, p_len: int, f0_up_key,
     # quantization range is the global F0_MIN/F0_MAX (gen.py defaults),
     # NOT the estimator's 30-8000 Hz search range
     return post_process_jax(f0, f0_up_key)
+
+
+def fcpe_f0_device(wav: jax.Array, p_len: int, f0_up_key,
+                   fcpe_model, fcpe_vars, threshold: float = 0.006,
+                   dtype=jnp.float32):
+    """Fully device-side FCPE pitch (models/fcpe.py chain + the same
+    resize/interpolate/quantize tail as the host estimator).
+    wav: (T,) @16k."""
+    from tpu_rvc.models.fcpe import fcpe_infer
+
+    f0 = fcpe_infer(fcpe_model, fcpe_vars, wav[None], threshold, dtype)[0]
+    f0 = resize_f0_jax(f0, p_len)
+    f0 = interpolate_f0_jax(f0)
+    return post_process_jax(f0, f0_up_key)

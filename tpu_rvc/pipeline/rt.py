@@ -253,7 +253,7 @@ class StreamSession:
         # covers noise-reduce / rms-mix / other-f0 configurations
         self._fused = None
         if (fused and engine.if_f0 in (0, 1)
-                and f0method in ("pm", "rmvpe")
+                and f0method in ("pm", "rmvpe", "fcpe")
                 and not input_noise_reduce and not output_noise_reduce
                 and rms_mix_rate >= 1.0 and engine.formant_shift == 0):
             try:
@@ -405,11 +405,14 @@ class FusedStreamGraph:
         self.f0method = f0method
         self.protect = protect
         self.use_f0 = engine.if_f0 == 1
-        if self.use_f0 and f0method == "rmvpe":
-            est = engine.f0_gen._get("rmvpe")
-            self._rmvpe_model, self._rmvpe_vars = est.model, est.variables
-        else:
-            self._rmvpe_model, self._rmvpe_vars = None, {}
+        self._rmvpe_model, self._rmvpe_vars = None, {}
+        if self.use_f0 and f0method in ("rmvpe", "fcpe"):
+            est = engine.f0_gen._get(f0method)
+            if getattr(est, "model", None) is None:
+                self.f0method = f0method = "pm"  # ckpt-less fcpe fallback
+            else:
+                self._rmvpe_model = est.model
+                self._rmvpe_vars = est.variables
         self._jit = jax.jit(self._run, donate_argnums=(3,))
         self._step = 0
 
@@ -434,7 +437,8 @@ class FusedStreamGraph:
 
         # 2. f0 on the tail + pitch cache roll (rtrvc.py:199-217)
         if self.use_f0:
-            from tpu_rvc.f0.device import pm_f0_device, rmvpe_f0_device
+            from tpu_rvc.f0.device import (pm_f0_device, rmvpe_f0_device,
+                                           fcpe_f0_device)
             f0_frame = self.block_16k + 800
             if self.f0method == "rmvpe":
                 # rmvpe tail padded to the reference's 5120-sample grid
@@ -447,6 +451,10 @@ class FusedStreamGraph:
                 c, f = rmvpe_f0_device(tail, f0_frame // WINDOW, up_key,
                                        self._rmvpe_model, rmvpe_vars,
                                        dtype=eng.dtype)
+            elif self.f0method == "fcpe":
+                c, f = fcpe_f0_device(tail, f0_frame // WINDOW, up_key,
+                                      self._rmvpe_model, rmvpe_vars,
+                                      dtype=eng.dtype)
             else:
                 c, f = pm_f0_device(tail, f0_frame // WINDOW, up_key)
             shift = self.block_16k // WINDOW

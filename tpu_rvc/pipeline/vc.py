@@ -142,8 +142,9 @@ class Pipeline:
         device-side f0 + conversion + pad trimming.  Minimizes dispatch
         round-trips (each costs tunnel RTT on remote-attached devices):
         one upload, one call, one fetch.  f0_mode selects the in-graph
-        estimator: "pm" (autocorrelation) or "rmvpe" (E2E salience net;
-        its weights ride in as the rmvpe_vars jit argument)."""
+        estimator: "pm" (autocorrelation), "rmvpe" (E2E salience net) or
+        "fcpe" (conv-conformer); estimator weights ride in as the
+        rmvpe_vars jit argument."""
         key = ("full", L, use_f0, has_index, protect_on, f0_mode)
         if key in self._graphs:
             return self._graphs[key]
@@ -153,8 +154,8 @@ class Pipeline:
         upsample = math.prod(self.synth.upsample_rates)
         p_len_static = min(bucket // WINDOW, 2 * ((bucket - 400) // 320 + 1))
         true_frames = min(p_len, p_len_static)
-        rmvpe_model = (self.f0_gen._get("rmvpe").model
-                       if use_f0 and f0_mode == "rmvpe" else None)
+        f0_model = (self.f0_gen._get(f0_mode).model
+                    if use_f0 and f0_mode in ("rmvpe", "fcpe") else None)
 
         def run_full(hubert_vars, synth_vars, rmvpe_vars, audio, up_key, sid,
                      index_vecs, index_sq, index_rate, protect, rms_mix_rate,
@@ -163,7 +164,12 @@ class Pipeline:
                 if f0_mode == "rmvpe":
                     from tpu_rvc.f0.device import rmvpe_f0_device
                     pitch, pitchf = rmvpe_f0_device(
-                        audio, p_len, up_key, rmvpe_model, rmvpe_vars,
+                        audio, p_len, up_key, f0_model, rmvpe_vars,
+                        dtype=self.dtype)
+                elif f0_mode == "fcpe":
+                    from tpu_rvc.f0.device import fcpe_f0_device
+                    pitch, pitchf = fcpe_f0_device(
+                        audio, p_len, up_key, f0_model, rmvpe_vars,
                         dtype=self.dtype)
                 else:
                     from tpu_rvc.f0.device import pm_f0_device
@@ -274,7 +280,7 @@ class Pipeline:
         # fused fast path: single chunk + device-side f0 -> ONE device call
         if (not opt_ts and f0_file is None and
                 (if_f0 == 0 or
-                 (if_f0 == 1 and f0_method in ("pm", "rmvpe")))):
+                 (if_f0 == 1 and f0_method in ("pm", "rmvpe", "fcpe")))):
             use_f0 = bool(if_f0)
             has_index = index is not None and index_rate > 0
             protect_on = use_f0 and protect < 0.5
@@ -286,10 +292,13 @@ class Pipeline:
                             jnp.zeros((1,), jnp.float32))
             L = audio_pad.shape[0]
             f0_mode = f0_method if use_f0 else "pm"
+            if f0_mode == "fcpe" and \
+                    self.f0_gen._get("fcpe").model is None:
+                f0_mode = "pm"  # no fcpe ckpt: estimator falls back to PM
             graph = self._full_graph(L, use_f0, has_index, protect_on,
                                      f0_mode)
-            rmvpe_vars = (self.f0_gen._get("rmvpe").variables
-                          if use_f0 and f0_mode == "rmvpe" else {})
+            rmvpe_vars = (self.f0_gen._get(f0_mode).variables
+                          if use_f0 and f0_mode in ("rmvpe", "fcpe") else {})
             t0 = time.time()
             out = graph(self.hubert_vars, self.synth_vars, rmvpe_vars,
                         jnp.asarray(audio_pad),
