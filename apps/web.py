@@ -265,8 +265,13 @@ def main():
     p.add_argument("--port", type=int, default=7865)
     p.add_argument("--http-only", action="store_true",
                    help="skip gradio even if installed")
+    p.add_argument("--weight-root", default="assets/weights")
+    p.add_argument("--index-root", default="logs")
+    p.add_argument("--hubert", default="assets/hubert/hubert_base.pt")
+    p.add_argument("--rmvpe-root", default="assets/rmvpe")
     args = p.parse_args()
-    api = Api()
+    api = Api(weight_root=args.weight_root, index_root=args.index_root,
+              hubert_path=args.hubert, rmvpe_root=args.rmvpe_root)
     if not args.http_only:
         try:
             import gradio  # noqa: F401
