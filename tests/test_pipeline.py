@@ -257,3 +257,48 @@ def test_pipeline_fused_fcpe_path(small_pipeline):
     out2 = small_pipeline.pipeline(
         0, tone(), times, 0, "fcpe", None, 0.0, 1, 3, 0, 0.25, 0.33)
     assert out2.dtype == np.int16 and abs(len(out2) - 32000) < 1600
+
+
+def test_vc_facade_single_and_multi(tmp_path):
+    """VC facade end-to-end (reference modules.py:117/201): load a small
+    model .pth, convert one file and a batch (pipelined fetch)."""
+    from tpu_rvc.ckpt.convert import state_dict_from_synthesizer_params
+    from tpu_rvc.ckpt.torch_pth import save_pth
+
+    cfg = {**SMALL_SYNTH, "encoder_dim": 768}
+    syn = Synthesizer(**cfg)
+    T = 20
+    v = syn.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, T, 768)), jnp.asarray([T]), jnp.asarray([0]),
+        jnp.zeros((1, T), jnp.int32), jnp.zeros((1, T)),
+        method=Synthesizer.infer)
+    sd = state_dict_from_synthesizer_params(v, use_f0=True, num_kernels=1)
+    mp = str(tmp_path / "m.pth")
+    save_pth({"weight": {k: w.astype(np.float16) for k, w in sd.items()},
+              "config": [129, 32, 32, 32, 64, 2, 1, 3, 0.0, "1",
+                         [3], [[1, 3, 5]], [10, 16], 64, [20, 32], 2, 16,
+                         16000],
+              "sr": "40k", "f0": 1, "version": "v2", "info": "t"}, mp)
+    wavs = []
+    for i, hz in enumerate((220.0, 330.0)):
+        p = str(tmp_path / f"in{i}.wav")
+        save_wav(p, tone(hz, dur=1.0), 16000)
+        wavs.append(p)
+
+    vc = VC(hubert_path="random", x_pad=0.5)
+    meta = vc.get_vc(mp)
+    assert meta["version"] == "v2" and vc.tgt_sr == 16000
+    info, (sr, out) = vc.vc_single(0, wavs[0], f0_method="pm",
+                                   rms_mix_rate=1.0)
+    assert sr == 16000 and np.asarray(out).dtype == np.int16
+    assert abs(len(np.asarray(out)) - 16000) < 1600
+
+    report = vc.vc_multi(0, wavs, str(tmp_path / "out"), f0_method="pm",
+                         rms_mix_rate=1.0)
+    assert report.count("Success") == 2, report
+    import os
+    outs = sorted(os.listdir(tmp_path / "out"))
+    assert outs == ["in0.wav.wav", "in1.wav.wav"]
+    y, sr2 = load_wav(str(tmp_path / "out" / outs[0]))
+    assert sr2 == 16000 and np.isfinite(y).all()

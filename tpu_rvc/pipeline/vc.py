@@ -435,9 +435,11 @@ class VC:
                   f0_method: str = "rmvpe", index: Optional[FeatureIndex] = None,
                   index_rate: float = 0.75, filter_radius: int = 3,
                   resample_sr: int = 0, rms_mix_rate: float = 0.25,
-                  protect: float = 0.33, f0_file=None):
+                  protect: float = 0.33, f0_file=None, fetch: bool = True):
         """Convert one file (reference vc_single, modules.py:117).
-        Returns (info_message, (sr, int16 audio))."""
+        Returns (info_message, (sr, int16 audio)).  fetch=False may leave
+        the audio on device (callers fetch with np.asarray) so batch
+        callers can overlap the D2H transfer with the next dispatch."""
         from tpu_rvc.audio.io import load_audio
 
         if self.pipeline is None:
@@ -450,7 +452,7 @@ class VC:
         out = self.pipeline.pipeline(
             sid, audio, times, f0_up_key, f0_method, index, index_rate,
             self.if_f0, filter_radius, resample_sr, rms_mix_rate, protect,
-            f0_file)
+            f0_file, fetch=fetch)
         tgt = (resample_sr if self.tgt_sr != resample_sr and
                resample_sr >= SR else self.tgt_sr)
         info = (f"npy: {times[0]:.2f}s, f0: {times[1]:.2f}s, "
@@ -458,19 +460,33 @@ class VC:
         return info, (tgt, out)
 
     def vc_multi(self, sid: int, paths: List[str], out_dir: str, **kwargs):
-        """Batch conversion (reference vc_multi, modules.py:201)."""
+        """Batch conversion (reference vc_multi, modules.py:201) with
+        depth-1 pipelined fetch: utterance N's D2H transfer overlaps
+        utterance N+1's dispatch (same pattern as bench.py)."""
         import os
         from tpu_rvc.audio.io import save_audio
 
         os.makedirs(out_dir, exist_ok=True)
         infos = []
+        pending = None  # (base, sr, device-or-host audio, info)
+
+        def flush(p):
+            base, sr, audio, info = p
+            save_audio(os.path.join(out_dir, f"{base}.wav"),
+                       np.asarray(audio), sr)
+            infos.append(f"{base} -> Success ({info})")
+
         for path in paths:
+            base = os.path.basename(path)
             try:
-                info, (sr, audio) = self.vc_single(sid, path, **kwargs)
-                base = os.path.basename(path)
-                save_audio(os.path.join(out_dir, f"{base}.wav"),
-                           audio, sr)
-                infos.append(f"{base} -> Success ({info})")
+                info, (sr, audio) = self.vc_single(sid, path, fetch=False,
+                                                   **kwargs)
             except Exception as e:  # pragma: no cover
                 infos.append(f"{path} -> {e}")
+                continue
+            if pending is not None:
+                flush(pending)
+            pending = (base, sr, audio, info)
+        if pending is not None:
+            flush(pending)
         return "\n".join(infos)
