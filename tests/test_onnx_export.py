@@ -1,0 +1,163 @@
+"""jaxpr -> ONNX export tests (C47, reference rvc/onnx/exporter.py role).
+
+Round-trip oracle: models exported by tpu_rvc.ckpt.jax2onnx are re-loaded
+with the dependency-free reader and executed by the jnp executor; outputs
+must match the original JAX forward.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_rvc.ckpt.jax2onnx import (export_fn_to_onnx, export_synthesizer_onnx,
+                                   export_hubert_onnx)
+from tpu_rvc.models.onnx_exec import OnnxModule
+from tpu_rvc.models.synthesizer import Synthesizer
+
+
+def _roundtrip(tmp_path, fn, params, inputs, n_out=1):
+    names = [f"in{i}" for i in range(len(inputs))]
+    onames = [f"out{i}" for i in range(n_out)]
+    data = export_fn_to_onnx(fn, params, inputs, names, onames)
+    p = str(tmp_path / "m.onnx")
+    open(p, "wb").write(data)
+    mod = OnnxModule.from_file(p)
+    got = mod(*[np.asarray(x) for x in inputs])
+    want = fn(params, *inputs)
+    got = got if isinstance(got, (list, tuple)) else [got]
+    want = want if isinstance(want, (list, tuple)) else [want]
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(w, np.float32),
+                                   rtol=1e-5, atol=1e-5)
+    return mod
+
+
+def test_export_mixed_primitives(tmp_path, rng):
+    W = jnp.asarray(rng.standard_normal((8, 16)), jnp.float32)
+
+    def fn(W, x):
+        y = jnp.tanh(x @ W) * jax.nn.sigmoid(x @ W)
+        y = jnp.cumsum(y, axis=0)
+        y = jnp.where(y > 0, y, jnp.exp(y) - 1.0)
+        y = jnp.pad(y, ((1, 0), (0, 0)))[:-1]
+        return jnp.sum(y, axis=-1), jax.nn.softmax(y, axis=-1)
+
+    x = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+    _roundtrip(tmp_path, fn, W, [x], n_out=2)
+
+
+def test_export_convs(tmp_path, rng):
+    K = jnp.asarray(rng.standard_normal((5, 6, 12)) * 0.1, jnp.float32)
+    Kg = jnp.asarray(rng.standard_normal((3, 2, 8)) * 0.1, jnp.float32)
+
+    def fn(params, x, xg):
+        K, Kg = params
+        a = jax.lax.conv_general_dilated(
+            x, K, (1,), [(2, 2)], dimension_numbers=("NWC", "WIO", "NWC"))
+        b = jax.lax.conv_general_dilated(
+            xg, Kg, (2,), [(3, 1)], rhs_dilation=(2,),
+            dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=4)
+        return a, b
+
+    x = jnp.asarray(rng.standard_normal((2, 20, 6)), jnp.float32)
+    xg = jnp.asarray(rng.standard_normal((2, 30, 8)), jnp.float32)
+    _roundtrip(tmp_path, fn, (K, Kg), [x, xg], n_out=2)
+
+
+def test_export_gather_scatter(tmp_path, rng):
+    E = jnp.asarray(rng.standard_normal((10, 4)), jnp.float32)
+
+    def fn(E, idx, x):
+        e = E[idx]  # embedding gather
+        s = jnp.zeros((2, 6)).at[:, jnp.arange(3) * 2].add(x)  # scatter-add
+        return e, s
+
+    idx = jnp.asarray([1, 3], jnp.int32)
+    x = jnp.asarray(rng.standard_normal((2, 3)), jnp.float32)
+    _roundtrip(tmp_path, fn, E, [idx, x], n_out=2)
+
+
+def _tiny_synth(use_f0=True):
+    return Synthesizer(
+        spec_channels=65, segment_size=64, inter_channels=8,
+        hidden_channels=8, filter_channels=16, n_heads=2, n_layers=1,
+        kernel_size=3, p_dropout=0.0, resblock="1",
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3, 5),),
+        upsample_rates=(4, 4), upsample_initial_channel=16,
+        upsample_kernel_sizes=(8, 8), spk_embed_dim=3, gin_channels=4,
+        sr=16000, encoder_dim=24, use_f0=use_f0, weight_norm=False)
+
+
+def test_synthesizer_onnx_parity(tmp_path, rng):
+    syn = _tiny_synth()
+    T = 12
+    phone = jnp.asarray(rng.standard_normal((1, T, 24)), jnp.float32)
+    pitch = jnp.asarray(rng.integers(1, 255, (1, T)), jnp.int32)
+    pitchf = jnp.asarray(100 + 50 * rng.random((1, T)), jnp.float32)
+    sid = jnp.zeros((1,), jnp.int32)
+    rnd = jnp.asarray(rng.standard_normal((1, T, 8)), jnp.float32)
+    variables = syn.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        phone, jnp.asarray([T]), sid, pitch, pitchf, method=syn.infer)
+
+    p = str(tmp_path / "synth.onnx")
+    export_synthesizer_onnx(syn, variables, T=T, path=p)
+    mod = OnnxModule.from_file(p)
+    assert mod.graph.inputs == ["phone", "phone_lengths", "pitch", "pitchf",
+                                "ds", "rnd"]
+    # static shapes advertised in the value infos
+    assert mod.graph.input_info["phone"][1] == (1, T, 24)
+
+    got = np.asarray(mod(np.asarray(phone), np.asarray([T], np.int32),
+                         np.asarray(pitch), np.asarray(pitchf),
+                         np.asarray(sid), np.asarray(rnd)))
+    want = np.asarray(syn.apply(variables, phone, jnp.asarray([T]), sid,
+                                pitch, pitchf, noise=rnd, noise_scale=1.0,
+                                deterministic=True, method=syn.infer))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_onnx_rvc_forward(tmp_path, rng):
+    """Exported graph consumed by the OnnxRVC wrapper
+    (reference rvc/onnx/infer.py:97-118 `forward`: int16 * 32767)."""
+    from tpu_rvc.pipeline.onnx_infer import OnnxRVC
+
+    syn = _tiny_synth()
+    T = 10
+    variables = syn.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, T, 24)), jnp.asarray([T]), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, T), jnp.int32), jnp.zeros((1, T)), method=syn.infer)
+
+    onnx_path = str(tmp_path / "tiny.onnx")
+    export_synthesizer_onnx(syn, variables, T=T, path=onnx_path)
+    rvc = OnnxRVC(onnx_path, hop_len=160, model_sr=16000)
+    assert rvc.t_model == T
+    feats = rng.standard_normal((1, T, 24)).astype(np.float32)
+    pitch = rng.integers(1, 255, (1, T))
+    pitchf = (100 + 50 * rng.random((1, T))).astype(np.float32)
+    rnd = rng.standard_normal((1, T, 8)).astype(np.float32)
+    out = rvc.forward(feats, T, pitch, pitchf, np.asarray([0]), rnd)
+    assert out.dtype == np.int16
+    assert out.shape[0] == T * 16  # upp = 4*4
+
+
+def test_hubert_onnx_tiny(tmp_path, rng):
+    """ContentVec-equivalent export (vec-768 onnx asset role)."""
+    from tpu_rvc.models.hubert import Hubert
+
+    hub = Hubert(output_layer=2, final_proj=False, embed=32, ffn_dim=64,
+                 n_heads=4, final_dim=16, pos_conv_k=16, pos_conv_groups=4,
+                 conv_layers=((16, 10, 5), (32, 8, 4), (32, 4, 2),
+                              (32, 4, 2), (32, 4, 2)))
+    wav = jnp.asarray(rng.standard_normal((1, 3200)) * 0.1, jnp.float32)
+    variables = hub.init(jax.random.PRNGKey(0), wav)
+    p = str(tmp_path / "vec.onnx")
+    export_hubert_onnx(hub, variables, n_samples=3200, path=p)
+    mod = OnnxModule.from_file(p)
+    got = np.asarray(mod(np.asarray(wav)))
+    want = np.asarray(hub.apply(variables, wav))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

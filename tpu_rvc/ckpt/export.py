@@ -91,14 +91,18 @@ def load_exported(path: str) -> LoadedExport:
     return LoadedExport(payload)
 
 
-def export_onnx(model_path: str, out_path: str) -> str:
-    """ONNX export API surface (reference rvc/onnx/exporter.py:6)."""
-    try:
-        import onnx  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            "ONNX export requires the `onnx` package (not bundled in this "
-            "environment). Install onnx and jax2onnx, then re-run."
-        ) from e
-    raise NotImplementedError(
-        "ONNX export path is tracked for a later round")
+def export_onnx(model_path: str, out_path: str, T: int = 200) -> str:
+    """Export an RVC small model to ONNX (reference rvc/onnx/exporter.py:6).
+
+    Torch-free and onnx-package-free: the `.pth` is read by the native
+    pickle reader, the synthesizer inference graph is traced to a jaxpr and
+    serialized via tpu_rvc.ckpt.jax2onnx (opset 17, same I/O contract as the
+    reference export: phone/phone_lengths/pitch/pitchf/ds/rnd -> audio,
+    with `rnd` channel-last).  The graph is static at `T` frames — export
+    per length bucket for other sizes."""
+    from tpu_rvc.models.loader import load_synthesizer
+    from tpu_rvc.ckpt.jax2onnx import export_synthesizer_onnx
+
+    synth, variables, _meta = load_synthesizer(model_path)
+    export_synthesizer_onnx(synth, variables, T=T, path=out_path)
+    return "Finished"

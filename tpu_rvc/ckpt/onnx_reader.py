@@ -106,6 +106,8 @@ class OnnxGraph:
     inputs: List[str]
     outputs: List[str]
     name: str = ""
+    # name -> (elem_type, shape) where shape dims are int or str (dim_param)
+    input_info: Dict[str, Tuple[int, Tuple]] = field(default_factory=dict)
 
 
 def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
@@ -190,15 +192,37 @@ def _parse_node(buf: bytes) -> OnnxNode:
     return node
 
 
-def _parse_value_info_name(buf: bytes) -> str:
+def _parse_value_info(buf: bytes) -> Tuple[str, int, Optional[Tuple]]:
+    name, elem, shape = "", 1, None
     for fnum, wt, v in _fields(buf):
         if fnum == 1:
-            return v.decode()
-    return ""
+            name = v.decode()
+        elif fnum == 2:  # TypeProto
+            for f2, _, v2 in _fields(v):
+                if f2 != 1:  # tensor_type
+                    continue
+                for f3, _, v3 in _fields(v2):
+                    if f3 == 1:
+                        elem = v3
+                    elif f3 == 2:  # TensorShapeProto
+                        dims = []
+                        for f4, _, v4 in _fields(v3):
+                            if f4 != 1:
+                                continue
+                            d: Any = 0
+                            for f5, _, v5 in _fields(v4):
+                                if f5 == 1:
+                                    d = v5
+                                elif f5 == 3:
+                                    d = v5.decode()
+                            dims.append(d)
+                        shape = tuple(dims)
+    return name, elem, shape
 
 
 def _parse_graph(buf: bytes) -> OnnxGraph:
     nodes, inits, ins, outs = [], {}, [], []
+    info: Dict[str, Tuple[int, Tuple]] = {}
     name = ""
     for fnum, wt, v in _fields(buf):
         if fnum == 1:
@@ -209,11 +233,14 @@ def _parse_graph(buf: bytes) -> OnnxGraph:
             tname, arr = _parse_tensor(v)
             inits[tname] = arr
         elif fnum == 11:
-            ins.append(_parse_value_info_name(v))
+            iname, elem, shape = _parse_value_info(v)
+            ins.append(iname)
+            if shape is not None:
+                info[iname] = (elem, shape)
         elif fnum == 12:
-            outs.append(_parse_value_info_name(v))
+            outs.append(_parse_value_info(v)[0])
     ins = [n for n in ins if n not in inits]
-    return OnnxGraph(nodes, inits, ins, outs, name)
+    return OnnxGraph(nodes, inits, ins, outs, name, info)
 
 
 def load_onnx(path: str) -> OnnxGraph:
@@ -249,16 +276,40 @@ def _len_field(fnum: int, payload: bytes) -> bytes:
     return _tag(fnum, 2) + _varint(len(payload)) + payload
 
 
+# numpy dtype -> ONNX TensorProto.DataType (inverse of DTYPE above)
+ONNX_DTYPE = {np.dtype(np.float32): 1, np.dtype(np.uint8): 2,
+              np.dtype(np.int8): 3, np.dtype(np.int32): 6,
+              np.dtype(np.int64): 7, np.dtype(np.bool_): 9,
+              np.dtype(np.float16): 10, np.dtype(np.float64): 11}
+
+
 def encode_tensor(name: str, arr: np.ndarray) -> bytes:
-    arr = np.asarray(arr)
-    dt = {np.dtype(np.float32): 1, np.dtype(np.int64): 7,
-          np.dtype(np.float16): 10}[arr.dtype]
+    arr = np.ascontiguousarray(arr)
+    dt = ONNX_DTYPE[arr.dtype]
     out = b""
     for d in arr.shape:
         out += _tag(1, 0) + _varint(d)
     out += _tag(2, 0) + _varint(dt)
     out += _len_field(8, name.encode())
     out += _len_field(9, arr.tobytes())
+    return out
+
+
+def encode_value_info(name: str, elem_type: int = 1,
+                      shape: Optional[Tuple] = None) -> bytes:
+    """ValueInfoProto with TensorTypeProto; shape entries may be ints or
+    strings (dim_param, the ONNX dynamic-axis spelling)."""
+    out = _len_field(1, name.encode())
+    if shape is None:
+        return out
+    dims = b""
+    for d in shape:
+        if isinstance(d, str):
+            dims += _len_field(1, _len_field(3, d.encode()))
+        else:
+            dims += _len_field(1, _tag(1, 0) + _varint(int(d)))
+    tensor_type = _tag(1, 0) + _varint(elem_type) + _len_field(2, dims)
+    out += _len_field(2, _len_field(1, tensor_type))
     return out
 
 
@@ -293,16 +344,25 @@ def encode_node(op_type: str, inputs, outputs, **attrs) -> bytes:
 
 
 def encode_model(nodes: List[bytes], initializers: Dict[str, np.ndarray],
-                 inputs: List[str], outputs: List[str]) -> bytes:
+                 inputs: List, outputs: List, opset: int = 17,
+                 producer: str = "tpu_rvc") -> bytes:
+    """ModelProto.  `inputs`/`outputs` entries are names (str) or typed
+    (name, elem_type, shape) tuples — shape dims may be str for dynamic
+    axes (see encode_value_info)."""
     g = b""
     for n in nodes:
         g += _len_field(1, n)
     for name, arr in initializers.items():
         g += _len_field(5, encode_tensor(name, arr))
     for i in inputs:
-        g += _len_field(11, _len_field(1, i.encode()))
+        vi = encode_value_info(i) if isinstance(i, str) else encode_value_info(*i)
+        g += _len_field(11, vi)
     for o in outputs:
-        g += _len_field(12, _len_field(1, o.encode()))
-    model = _tag(1, 0) + _varint(7)  # ir_version
+        vi = encode_value_info(o) if isinstance(o, str) else encode_value_info(*o)
+        g += _len_field(12, vi)
+    model = _tag(1, 0) + _varint(8)  # ir_version
+    model += _len_field(2, producer.encode())
+    # opset_import: OperatorSetIdProto {domain="", version=opset}
+    model += _len_field(8, _len_field(1, b"") + _tag(2, 0) + _varint(opset))
     model += _len_field(7, g)
     return model

@@ -17,7 +17,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_rvc.ckpt.onnx_reader import OnnxGraph, OnnxNode, load_onnx
+from tpu_rvc.ckpt.onnx_reader import DTYPE, OnnxGraph, OnnxNode, load_onnx
+
+_UNARY = {"Neg": jnp.negative, "Exp": jnp.exp, "Log": jnp.log,
+          "Sin": jnp.sin, "Cos": jnp.cos, "Sqrt": jnp.sqrt,
+          "Reciprocal": lambda x: 1.0 / x, "Abs": jnp.abs,
+          "Sign": jnp.sign, "Floor": jnp.floor, "Ceil": jnp.ceil,
+          "Round": jnp.round, "Erf": jax.scipy.special.erf,
+          "Not": jnp.logical_not, "Softplus": jax.nn.softplus,
+          "Gelu": jax.nn.gelu}
+_BINARY = {"Pow": jnp.power, "Equal": jnp.equal, "Greater": jnp.greater,
+           "GreaterOrEqual": jnp.greater_equal, "Less": jnp.less,
+           "LessOrEqual": jnp.less_equal, "And": jnp.logical_and,
+           "Or": jnp.logical_or, "Xor": jnp.logical_xor,
+           "Max": jnp.maximum, "Min": jnp.minimum}
 
 
 def _conv(x, w, b, node: OnnxNode, transpose=False):
@@ -205,8 +218,21 @@ class OnnxModule:
             pads = [int(s) for s in np.asarray(ins[1])] if len(ins) > 1 \
                 else node.attr("pads")
             n = ins[0].ndim
-            pad_pairs = [(pads[i], pads[i + n]) for i in range(n)]
-            return jnp.pad(ins[0], pad_pairs)
+            cval = 0.0
+            if len(ins) > 2 and ins[2] is not None:
+                cval = ins[2]
+            y = ins[0]
+            pos = [(max(pads[i], 0), max(pads[i + n], 0)) for i in range(n)]
+            if any(p != (0, 0) for p in pos):
+                y = jnp.pad(y, pos, constant_values=cval)
+            # negative pads crop (ONNX Pad opset>=11 semantics)
+            if any(pads[i] < 0 or pads[i + n] < 0 for i in range(n)):
+                idx = tuple(
+                    slice(max(-pads[i], 0),
+                          y.shape[i] - max(-pads[i + n], 0))
+                    for i in range(n))
+                y = y[idx]
+            return y
         if op == "MaxPool":
             return _pool(ins[0], node, "max")
         if op == "AveragePool":
@@ -220,6 +246,100 @@ class OnnxModule:
             return jnp.asarray(node.attr("value"))
         if op == "Softmax":
             return jax.nn.softmax(ins[0], axis=int(node.attr("axis", -1)))
+        if op in _UNARY:
+            return _UNARY[op](ins[0])
+        if op in ("Max", "Min") and len(ins) != 2:
+            f = jnp.maximum if op == "Max" else jnp.minimum
+            y = ins[0]
+            for x in ins[1:]:
+                y = f(y, x)
+            return y
+        if op in _BINARY:
+            return _BINARY[op](ins[0], ins[1])
+        if op == "Where":
+            return jnp.where(ins[0], ins[1], ins[2])
+        if op == "Cast":
+            dt = np.dtype(DTYPE[int(node.attr("to"))])
+            if dt == np.int64 and not jax.config.jax_enable_x64:
+                dt = np.dtype(np.int32)  # jax canonicalizes anyway
+            return ins[0].astype(dt)
+        if op == "Expand":
+            shape = [int(s) for s in np.asarray(ins[1])]
+            # ONNX Expand: mutual numpy broadcast of x and shape
+            return jnp.broadcast_to(
+                ins[0], np.broadcast_shapes(ins[0].shape, tuple(shape)))
+        if op == "Einsum":
+            return jnp.einsum(node.attr("equation"), *ins)
+        if op == "CumSum":
+            axis = int(np.asarray(ins[1]).reshape(()))
+            y = ins[0]
+            if node.attr("reverse", 0):
+                y = jnp.flip(y, axis)
+            y = jnp.cumsum(y, axis)
+            if node.attr("exclusive", 0):
+                y = jnp.roll(y, 1, axis).at[(slice(None),) * (axis % y.ndim)
+                                            + (0,)].set(0)
+            if node.attr("reverse", 0):
+                y = jnp.flip(y, axis)
+            return y
+        if op == "Mod":
+            if node.attr("fmod", 0):
+                return jnp.fmod(ins[0], ins[1])
+            return jnp.mod(ins[0], ins[1])
+        if op == "Gather":
+            axis = int(node.attr("axis", 0))
+            return jnp.take(ins[0], ins[1].astype(jnp.int32), axis=axis)
+        if op == "GatherND":
+            if int(node.attr("batch_dims", 0)) != 0:
+                raise NotImplementedError("GatherND batch_dims")
+            idx = ins[1].astype(jnp.int32)
+            return ins[0][tuple(jnp.moveaxis(idx, -1, 0))]
+        if op == "ScatterND":
+            data, idx, upd = ins[0], ins[1].astype(jnp.int32), ins[2]
+            red = node.attr("reduction", "none")
+            loc = tuple(jnp.moveaxis(idx, -1, 0))
+            if red == "add":
+                return data.at[loc].add(upd)
+            if red in ("none", None):
+                return data.at[loc].set(upd)
+            raise NotImplementedError(f"ScatterND reduction {red}")
+        if op == "Split":
+            axis = int(node.attr("axis", 0))
+            sizes = node.attr("split")
+            if sizes is None and len(ins) > 1 and ins[1] is not None:
+                sizes = [int(s) for s in np.asarray(ins[1])]
+            offs = np.cumsum([0] + list(sizes))
+            return [jax.lax.slice_in_dim(ins[0], int(offs[i]),
+                                         int(offs[i + 1]), axis=axis)
+                    for i in range(len(sizes))]
+        if op in ("ReduceSum", "ReduceMax", "ReduceMin", "ReduceProd",
+                  "ReduceMean"):
+            axes = node.attr("axes")
+            if axes is None and len(ins) > 1 and ins[1] is not None:
+                axes = [int(a) for a in np.asarray(ins[1])]
+            keep = bool(node.attr("keepdims", 1))
+            f = {"ReduceSum": jnp.sum, "ReduceMax": jnp.max,
+                 "ReduceMin": jnp.min, "ReduceProd": jnp.prod,
+                 "ReduceMean": jnp.mean}[op]
+            ax = tuple(axes) if axes else None
+            return f(ins[0], axis=ax, keepdims=keep)
+        if op in ("ArgMax", "ArgMin"):
+            axis = int(node.attr("axis", 0))
+            keep = bool(node.attr("keepdims", 1))
+            f = jnp.argmax if op == "ArgMax" else jnp.argmin
+            y = f(ins[0], axis=axis)
+            return jnp.expand_dims(y, axis) if keep else y
+        if op == "Range":
+            return jnp.arange(int(np.asarray(ins[0])),
+                              int(np.asarray(ins[1])),
+                              int(np.asarray(ins[2])))
+        if op == "Shape":
+            return jnp.asarray(ins[0].shape, jnp.int64)
+        if op == "Flatten":
+            ax = int(node.attr("axis", 1))
+            return ins[0].reshape((int(np.prod(ins[0].shape[:ax])), -1))
+        if op == "Tile":
+            return jnp.tile(ins[0], [int(r) for r in np.asarray(ins[1])])
         if op == "Resize":
             scales = np.asarray(ins[2]) if len(ins) > 2 and ins[2] is not None \
                 else None

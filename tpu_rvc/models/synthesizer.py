@@ -119,11 +119,14 @@ class Synthesizer(nn.Module):
               return_length: Optional[int] = None,
               return_length2: Optional[int] = None,
               noise_scale: float = 0.66666,
-              deterministic: bool = False):
+              deterministic: bool = False,
+              noise: Optional[jax.Array] = None):
         """Inference (reference synthesizers.py:160). skip_head/return_length
         are static ints (bucketed by the pipeline).  deterministic=True zeroes
         all stochastic terms (prior noise, sine rand-phase/noise) for golden
-        tests and reproducible exports."""
+        tests and reproducible exports.  `noise` supplies the prior eps
+        externally — the ONNX-export contract (reference
+        rvc/onnx/synthesizer.py:82 takes `rnd` as a graph input)."""
         g = self._speaker(sid)
         if deterministic:
             key = jax.random.PRNGKey(0)
@@ -135,7 +138,8 @@ class Synthesizer(nn.Module):
             dec_head = head - flow_head
             m_p, logs_p, x_mask = self.enc_p(phone, pitch, phone_lengths,
                                              skip_head=flow_head)
-            eps = (jnp.zeros_like(m_p) if deterministic
+            eps = (noise if noise is not None
+                   else jnp.zeros_like(m_p) if deterministic
                    else jax.random.normal(key, m_p.shape, m_p.dtype))
             z_p = (m_p + jnp.exp(logs_p) * eps * noise_scale) * x_mask
             z = self.flow(z_p, x_mask, g=g, reverse=True)
@@ -145,7 +149,8 @@ class Synthesizer(nn.Module):
                 pitchf = pitchf[:, head:head + length]
         else:
             m_p, logs_p, x_mask = self.enc_p(phone, pitch, phone_lengths)
-            eps = (jnp.zeros_like(m_p) if deterministic
+            eps = (noise if noise is not None
+                   else jnp.zeros_like(m_p) if deterministic
                    else jax.random.normal(key, m_p.shape, m_p.dtype))
             z_p = (m_p + jnp.exp(logs_p) * eps * noise_scale) * x_mask
             z = self.flow(z_p, x_mask, g=g, reverse=True)
