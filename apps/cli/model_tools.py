@@ -49,6 +49,12 @@ def cmd_change_info(args):
     print("updated ->", out)
 
 
+def cmd_export_onnx(args):
+    from tpu_rvc.ckpt.export import export_onnx
+    export_onnx(args.model, args.output, T=args.frames)
+    print("exported ->", args.output)
+
+
 def cmd_similarity(args):
     from tpu_rvc.ckpt.torch_pth import load_pth
     from tpu_rvc.ckpt.hash import hash_similarity
@@ -101,6 +107,16 @@ def main():
     ss.add_argument("a")
     ss.add_argument("b")
     ss.set_defaults(fn=cmd_similarity)
+
+    so = sub.add_parser(
+        "export-onnx",
+        help="export a small model to ONNX (reference web.py:1519 "
+             "export_onnx / tools/cmd/onnx/export.py)")
+    so.add_argument("model")
+    so.add_argument("output")
+    so.add_argument("--frames", type=int, default=200,
+                    help="static frame count of the exported graph")
+    so.set_defaults(fn=cmd_export_onnx)
 
     args = p.parse_args()
     args.fn(args)

@@ -156,6 +156,24 @@ class Api:
                                name=name)
         return {"status": "done", "metrics": metrics}
 
+    def train_start_all(self, exp_dir: str, trainset_dir: str,
+                        version: str = "v2", sr: int = 48000,
+                        if_f0: int = 1, f0_method: str = "rmvpe",
+                        n_p: int = 8, per: float = 3.7, epochs: int = 20,
+                        batch_size: int = 4, save_every: int = 5,
+                        pretrain_g: str = "", pretrain_d: str = "",
+                        name: str = "model"):
+        """One-click training (reference train1key, web.py:600-688):
+        preprocess -> f0/feature extraction -> GAN training -> index."""
+        steps = [self.train_preprocess(trainset_dir, exp_dir, sr, n_p, per),
+                 self.train_extract_f0_feature(exp_dir, version, if_f0,
+                                               f0_method),
+                 self.train_start(exp_dir, version, sr, if_f0, epochs,
+                                  batch_size, save_every, pretrain_g,
+                                  pretrain_d, name),
+                 self.train_index(exp_dir, version, name)]
+        return {"status": "done", "steps": steps}
+
     # ---------------- ckpt tab ----------------
     def ckpt_merge(self, path1: str, path2: str, alpha1: float, sr: str,
                    f0: int, info: str, name: str, version: str):
@@ -182,11 +200,18 @@ class Api:
         out = extract_small_model(path, name, sr, if_f0, info, version, hp)
         return {"output": out}
 
+    # ---------------- export tab ----------------
+    def export_onnx(self, ckpt_path: str, onnx_path: str, frames: int = 200):
+        """ONNX export endpoint (reference web.py:1519)."""
+        from tpu_rvc.ckpt.export import export_onnx
+        export_onnx(ckpt_path, onnx_path, T=frames)
+        return {"output": onnx_path}
+
 
 ENDPOINTS = ("infer_convert", "infer_convert_batch", "uvr_convert",
              "train_preprocess", "train_extract_f0_feature", "train_index",
-             "train_start", "ckpt_merge", "ckpt_modify", "ckpt_show",
-             "ckpt_extract")
+             "train_start", "train_start_all", "ckpt_merge", "ckpt_modify",
+             "ckpt_show", "ckpt_extract", "export_onnx")
 
 
 def serve_http(api: Api, host: str = "127.0.0.1", port: int = 7865):
@@ -256,6 +281,100 @@ def serve_gradio(api: Api, host: str, port: int):  # pragma: no cover
                 [model, inp, sid, key, method, index_path, index_rate,
                  out_path],
                 [result], api_name="infer_convert")
+            in_dir = gr.Textbox(label=i18n("Input directory"))
+            out_dir = gr.Textbox(label=i18n("Output directory"), value="opt")
+            bres = gr.JSON()
+            bbtn = gr.Button(i18n("Batch convert"))
+            bbtn.click(
+                lambda m, d, o, s, k, f, ip, ir: api.infer_convert_batch(
+                    int(s), d, o, model_name=m, f0_up_key=int(k),
+                    f0_method=f, file_index=ip, index_rate=ir),
+                [model, in_dir, out_dir, sid, key, method, index_path,
+                 index_rate], [bres], api_name="infer_convert_batch")
+        with gr.Tab(i18n("Vocals/Accompaniment Separation & Reverberation Removal")):
+            uvr_model = gr.Textbox(label=i18n("Model"))
+            uvr_in = gr.Textbox(label=i18n("Input audio path"))
+            uvr_ins = gr.Textbox(label=i18n("Instrument output"), value="opt_ins")
+            uvr_voc = gr.Textbox(label=i18n("Vocal output"), value="opt_voc")
+            uvr_agg = gr.Slider(0, 20, value=10, label="agg")
+            uvr_res = gr.JSON()
+            uvr_btn = gr.Button(i18n("Convert"), variant="primary")
+            uvr_btn.click(
+                lambda m, i, a, v, g: api.uvr_convert(m, i, a, v, g),
+                [uvr_model, uvr_in, uvr_ins, uvr_voc, uvr_agg],
+                [uvr_res], api_name="uvr_convert")
+        with gr.Tab(i18n("Train")):
+            exp_dir = gr.Textbox(label=i18n("Experiment dir"), value="logs/exp")
+            trainset = gr.Textbox(label=i18n("Trainset dir"))
+            t_sr = gr.Radio(["32000", "40000", "48000"], value="48000",
+                            label=i18n("Sample rate"))
+            t_ver = gr.Radio(["v1", "v2"], value="v2", label=i18n("Version"))
+            t_f0 = gr.Checkbox(value=True, label=i18n("Pitch guidance"))
+            t_method = gr.Radio(["pm", "harvest", "rmvpe"], value="rmvpe",
+                                label=i18n("F0 method"))
+            t_epochs = gr.Number(value=20, precision=0, label=i18n("Epochs"))
+            t_bs = gr.Number(value=4, precision=0, label=i18n("Batch size"))
+            t_res = gr.JSON()
+            b1 = gr.Button(i18n("Process data"))
+            b1.click(lambda d, e, s: api.train_preprocess(d, e, int(s)),
+                     [trainset, exp_dir, t_sr], [t_res],
+                     api_name="train_preprocess")
+            b2 = gr.Button(i18n("Feature extraction"))
+            b2.click(lambda e, v, f, m: api.train_extract_f0_feature(
+                         e, v, int(f), m),
+                     [exp_dir, t_ver, t_f0, t_method], [t_res],
+                     api_name="train_extract_f0_feature")
+            b3 = gr.Button(i18n("Train model"), variant="primary")
+            b3.click(lambda e, v, s, f, ep, bs: api.train_start(
+                         e, v, int(s), int(f), int(ep), int(bs)),
+                     [exp_dir, t_ver, t_sr, t_f0, t_epochs, t_bs], [t_res],
+                     api_name="train_start")
+            b4 = gr.Button(i18n("Train feature index"))
+            b4.click(lambda e, v: api.train_index(e, v),
+                     [exp_dir, t_ver], [t_res], api_name="train_index")
+            b5 = gr.Button(i18n("One-click training"))
+            b5.click(lambda e, d, v, s, f, m, ep, bs: api.train_start_all(
+                         e, d, v, int(s), int(f), m, epochs=int(ep),
+                         batch_size=int(bs)),
+                     [exp_dir, trainset, t_ver, t_sr, t_f0, t_method,
+                      t_epochs, t_bs], [t_res], api_name="train_start_all")
+        with gr.Tab(i18n("ckpt Processing")):
+            ck_a = gr.Textbox(label=i18n("Model A"))
+            ck_b = gr.Textbox(label=i18n("Model B"))
+            ck_alpha = gr.Slider(0, 1, value=0.5, label=i18n("Weight of A"))
+            ck_sr = gr.Radio(["32k", "40k", "48k"], value="48k",
+                             label=i18n("Sample rate"))
+            ck_f0 = gr.Checkbox(value=True, label=i18n("Pitch guidance"))
+            ck_info = gr.Textbox(label=i18n("Model info"))
+            ck_name = gr.Textbox(label=i18n("Model name"))
+            ck_ver = gr.Radio(["v1", "v2"], value="v2", label=i18n("Version"))
+            ck_res = gr.JSON()
+            mb = gr.Button(i18n("Merge"))
+            mb.click(lambda a, bb, al, s, f, i, n, v: api.ckpt_merge(
+                         a, bb, al, s, int(f), i, n, v),
+                     [ck_a, ck_b, ck_alpha, ck_sr, ck_f0, ck_info, ck_name,
+                      ck_ver], [ck_res], api_name="ckpt_merge")
+            cb = gr.Button(i18n("Modify"))
+            cb.click(lambda a, i, n: api.ckpt_modify(a, i, n),
+                     [ck_a, ck_info, ck_name], [ck_res],
+                     api_name="ckpt_modify")
+            sb = gr.Button(i18n("View"))
+            sb.click(lambda a: api.ckpt_show(a), [ck_a], [ck_res],
+                     api_name="ckpt_show")
+            eb = gr.Button(i18n("Extract"))
+            eb.click(lambda a, n, s, f, i, v: api.ckpt_extract(
+                         a, n, s, int(f), i, v),
+                     [ck_a, ck_name, ck_sr, ck_f0, ck_info, ck_ver],
+                     [ck_res], api_name="ckpt_extract")
+        with gr.Tab(i18n("Export Onnx")):
+            ox_in = gr.Textbox(label=i18n("RVC Model Path"))
+            ox_out = gr.Textbox(label=i18n("Onnx Export Path"))
+            ox_frames = gr.Number(value=200, precision=0, label=i18n("Frames"))
+            ox_res = gr.JSON()
+            ob = gr.Button(i18n("Export Onnx Model"), variant="primary")
+            ob.click(lambda i, o, f: api.export_onnx(i, o, int(f)),
+                     [ox_in, ox_out, ox_frames], [ox_res],
+                     api_name="export_onnx")
     app.launch(server_name=host, server_port=port)
 
 

@@ -145,6 +145,49 @@ def test_onnx_rvc_forward(tmp_path, rng):
     assert out.shape[0] == T * 16  # upp = 4*4
 
 
+def test_export_onnx_from_pth(tmp_path, rng):
+    """The reference CLI surface (rvc/onnx/exporter.py:6 export_onnx):
+    small-model .pth in, .onnx out."""
+    from tpu_rvc.ckpt.convert import state_dict_from_synthesizer_params
+    from tpu_rvc.ckpt.torch_pth import save_pth, load_pth
+    from tpu_rvc.ckpt.export import export_onnx
+
+    syn = Synthesizer(
+        spec_channels=65, segment_size=64, inter_channels=8,
+        hidden_channels=8, filter_channels=16, n_heads=2, n_layers=1,
+        kernel_size=3, p_dropout=0.0, resblock="1",
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3, 5),),
+        upsample_rates=(4, 4), upsample_initial_channel=16,
+        upsample_kernel_sizes=(8, 8), spk_embed_dim=3, gin_channels=4,
+        sr=16000, encoder_dim=256, use_f0=True, weight_norm=False)
+    T = 8
+    variables = syn.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, T, 256)), jnp.asarray([T]), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, T), jnp.int32), jnp.zeros((1, T)), method=syn.infer)
+    sd = state_dict_from_synthesizer_params(
+        jax.tree.map(np.asarray, variables["params"]),
+        use_f0=True, num_kernels=1)
+    config = [65, 64, 8, 8, 16, 2, 1, 3, 0.0, "1", [3], [[1, 3, 5]],
+              [4, 4], 16, [8, 8], 3, 4, 16000]
+    pth = str(tmp_path / "tiny_v1.pth")
+    save_pth({"weight": sd, "config": config, "f0": 1, "version": "v1",
+              "sr": "40k"}, pth)
+
+    out = str(tmp_path / "tiny_v1.onnx")
+    assert export_onnx(pth, out, T=T) == "Finished"
+    mod = OnnxModule.from_file(out)
+    assert mod.graph.inputs[0] == "phone"
+    y = mod(rng.standard_normal((1, T, 256)).astype(np.float32),
+            np.asarray([T], np.int32),
+            rng.integers(1, 255, (1, T)).astype(np.int32),
+            (100 + 50 * rng.random((1, T))).astype(np.float32),
+            np.zeros((1,), np.int32),
+            rng.standard_normal((1, T, 8)).astype(np.float32))
+    assert np.asarray(y).shape == (1, T * 16, 1)
+    assert np.isfinite(np.asarray(y)).all()
+
+
 def test_hubert_onnx_tiny(tmp_path, rng):
     """ContentVec-equivalent export (vec-768 onnx asset role)."""
     from tpu_rvc.models.hubert import Hubert
