@@ -161,6 +161,53 @@ def test_mdxnet_demix_machinery(tmp_path):
     assert err < 0.05, err
 
 
+def test_mdxnet_demix_through_onnx(tmp_path):
+    """Full C44 path: a Conv-TDF-style ONNX graph (written by our own
+    exporter) loaded with OnnxModule and driven through demix — the exact
+    flow MDXNetDereverb runs on the real vocals.onnx asset
+    (reference mdxnet.py:92-105 onnxruntime session -> demix_base)."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_rvc.ckpt.jax2onnx import export_fn_to_onnx
+    from tpu_rvc.models.onnx_exec import OnnxModule
+    from tpu_rvc.pipeline.mdxnet import ConvTDFSpec, MDXPredictor
+
+    spec = ConvTDFSpec(dim_f=1024, dim_t=6, n_fft=2048, hop=512)
+    # tiny conv "denoiser": 4ch spectrogram -> 4ch, near-identity init
+    w_np = 0.01 * np.random.RandomState(0).randn(4, 4, 3, 3)
+    w_np[:, :, 1, 1] += np.eye(4)  # identity at the center tap
+    w = jnp.asarray(w_np, jnp.float32)
+
+    def model(w, x):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    # demix of 1 s @44.1k with this spec batches 2 windows per chunk
+    sr = 44100
+    gen = spec.chunk_size - 2 * spec.trim
+    pad = gen - sr % gen
+    n_windows = (sr + pad) // gen
+    xshape = (n_windows, 4, spec.dim_f, spec.dim_t)
+    p = str(tmp_path / "vocals.onnx")
+    data = export_fn_to_onnx(model, w, [jnp.zeros(xshape, jnp.float32)],
+                             ["input"], ["output"])
+    open(p, "wb").write(data)
+
+    pred = MDXPredictor(OnnxModule.from_file(p), spec, chunks=1,
+                        margin=4410, denoise=True)
+    t = np.arange(sr) / sr
+    mix = np.stack([np.sin(2 * np.pi * 440 * t),
+                    np.sin(2 * np.pi * 330 * t)]).astype(np.float32) * 0.5
+    out = pred.demix(mix)[0]
+    assert out.shape == mix.shape
+    assert np.isfinite(out).all()
+    # near-identity model -> output close to input away from chunk edges
+    interior = slice(sr // 4, -sr // 4)
+    err = np.abs(out[:, interior] - mix[:, interior]).max()
+    assert err < 0.2, err
+
+
 def test_load_separator_dispatch(monkeypatch):
     """Model-name routing parity with reference vr.py:22-39 / modules.py:27."""
     import tpu_rvc.pipeline.uvr5 as u
