@@ -25,11 +25,16 @@ def _roundtrip(tmp_path, fn, params, inputs, n_out=1):
     open(p, "wb").write(data)
     mod = OnnxModule.from_file(p)
     got = mod(*[np.asarray(x) for x in inputs])
+    jgot = mod.jit()(*[np.asarray(x) for x in inputs])  # whole-graph XLA
     want = fn(params, *inputs)
     got = got if isinstance(got, (list, tuple)) else [got]
+    jgot = jgot if isinstance(jgot, (list, tuple)) else [jgot]
     want = want if isinstance(want, (list, tuple)) else [want]
-    for g, w in zip(got, want):
+    for g, j, w in zip(got, jgot, want):
         np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(w, np.float32),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(j, np.float32),
                                    np.asarray(w, np.float32),
                                    rtol=1e-5, atol=1e-5)
     return mod

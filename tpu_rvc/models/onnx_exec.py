@@ -88,23 +88,44 @@ def _pool(x, node: OnnxNode, op):
     return s / np.prod(k)
 
 
+# ONNX inputs that must stay concrete at jit-trace time (shapes, axes,
+# slice bounds) — op_type -> input positions
+_STRUCTURAL = {"Reshape": (1,), "Slice": (1, 2, 3, 4), "Expand": (1,),
+               "Tile": (1,), "CumSum": (1,), "Split": (1,), "Pad": (1,),
+               "Resize": (2, 3), "ReduceSum": (1,), "ReduceMax": (1,),
+               "ReduceMin": (1,), "ReduceProd": (1,), "ReduceMean": (1,),
+               "Unsqueeze": (1,), "Squeeze": (1,), "Range": (0, 1, 2)}
+
+
 class OnnxModule:
-    """Executable ONNX graph: module(input_arrays...) -> outputs."""
+    """Executable ONNX graph: module(input_arrays...) -> outputs.
+
+    Eager by default (each op dispatches separately — fine on CPU, terrible
+    through a remote-attached device).  `.jit()` returns a callable that
+    compiles the whole graph into ONE XLA program with the float weights
+    passed as arguments (remote compile services cap request bodies, so
+    weights must not be baked into the graph as constants — see
+    CLAUDE.md); structural initializers (shapes/axes/slice bounds) stay
+    baked in as required for tracing."""
 
     def __init__(self, graph: OnnxGraph):
         self.graph = graph
-        self.params = {k: jnp.asarray(v) for k, v in graph.initializers.items()}
+        structural = set()
+        for node in graph.nodes:
+            for i in _STRUCTURAL.get(node.op_type, ()):
+                if i < len(node.inputs):
+                    structural.add(node.inputs[i])
+        # structural initializers stay numpy (concrete under jit tracing)
+        self.params: Dict[str, Any] = {
+            k: (np.asarray(v) if k in structural else jnp.asarray(v))
+            for k, v in graph.initializers.items()}
+        self._jitted = None
 
     @classmethod
     def from_file(cls, path: str) -> "OnnxModule":
         return cls(load_onnx(path))
 
-    def __call__(self, *args, **named):
-        env: Dict[str, Any] = dict(self.params)
-        for name, val in zip(self.graph.inputs, args):
-            env[name] = jnp.asarray(val)
-        env.update({k: jnp.asarray(v) for k, v in named.items()})
-
+    def _run(self, env: Dict[str, Any]):
         for node in self.graph.nodes:
             ins = [env[i] if i else None for i in node.inputs]
             out = self._exec(node, ins, env)
@@ -115,6 +136,32 @@ class OnnxModule:
                 env[node.outputs[0]] = out
         outs = [env[o] for o in self.graph.outputs]
         return outs[0] if len(outs) == 1 else outs
+
+    def __call__(self, *args, **named):
+        env: Dict[str, Any] = dict(self.params)
+        for name, val in zip(self.graph.inputs, args):
+            env[name] = jnp.asarray(val)
+        env.update({k: jnp.asarray(v) for k, v in named.items()})
+        return self._run(env)
+
+    def jit(self):
+        """Whole-graph jitted callable: fn(*inputs) -> outputs."""
+        if self._jitted is None:
+            weight_names = [k for k, v in self.params.items()
+                            if isinstance(v, jax.Array)]
+            weights = tuple(self.params[k] for k in weight_names)
+            in_names = list(self.graph.inputs)
+
+            @jax.jit
+            def run(weights, args):
+                env = {k: v for k, v in self.params.items()
+                       if not isinstance(v, jax.Array)}
+                env.update(zip(weight_names, weights))
+                env.update(zip(in_names, args))
+                return self._run(env)
+
+            self._jitted = lambda *args: run(weights, args)
+        return self._jitted
 
     def _exec(self, node: OnnxNode, ins: List, env: Dict):
         op = node.op_type

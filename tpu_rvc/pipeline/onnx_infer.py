@@ -25,6 +25,7 @@ class ContentVec:
 
     def __init__(self, vec_path: str):
         self.model = OnnxModule.from_file(vec_path)
+        self._fn = self.model.jit()  # one XLA program per call
         info = self.model.graph.input_info.get(self.model.graph.inputs[0])
         self.shape = info[1] if info else None
 
@@ -40,7 +41,7 @@ class ContentVec:
             wav = np.pad(wav, (0, t_model - n))
         elif t_model is not None:
             wav = wav[:t_model]
-        feats = np.asarray(self.model(wav.reshape(1, -1).astype(np.float32)))
+        feats = np.asarray(self._fn(wav.reshape(1, -1).astype(np.float32)))
         if feats.ndim == 2:
             feats = feats[None]
         return feats  # (1, T_frames, C) channel-last
@@ -54,6 +55,7 @@ class OnnxRVC:
                  model_sr: int = 40000,
                  vec_path: Optional[str] = None):
         self.model = OnnxModule.from_file(model_path)
+        self._fn = self.model.jit()
         self.hop_len = hop_len
         self.model_sr = model_sr
         self.vec = ContentVec(vec_path) if vec_path and \
@@ -66,7 +68,7 @@ class OnnxRVC:
     def forward(self, hubert, hubert_length, pitch, pitchf, ds, rnd):
         """Raw graph invocation; returns int16 audio
         (reference infer.py:97-118 scales by 32767)."""
-        out = np.asarray(self.model(
+        out = np.asarray(self._fn(
             hubert.astype(np.float32),
             np.asarray([hubert_length], np.int32),
             pitch.astype(np.int32), pitchf.astype(np.float32),
