@@ -63,6 +63,25 @@ def test_i18n_fallback_and_scan(tmp_path):
     assert keys == {"Hello", "World"}
 
 
+def test_i18n_locales_cover_all_app_keys():
+    """Every i18n() key used by apps/ must exist in every bundled locale
+    (the reference ships 13 locale JSONs, i18n/locale/)."""
+    import json
+    from tpu_rvc.utils.i18n import scan_i18n_keys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    keys = scan_i18n_keys(os.path.join(root, "apps"))
+    assert keys, "scanner found no keys"
+    loc_dir = os.path.join(root, "tpu_rvc", "assets", "i18n")
+    locales = sorted(os.listdir(loc_dir))
+    assert len(locales) >= 13
+    for name in locales:
+        with open(os.path.join(loc_dir, name)) as f:
+            d = json.load(f)
+        missing = keys - set(d)
+        assert not missing, f"{name} missing {sorted(missing)}"
+
+
 def test_asset_checksum(tmp_path):
     from tpu_rvc.utils.assets import sha256_file, load_checksums, check_model
     p = tmp_path / "model.bin"
