@@ -59,6 +59,52 @@ def test_realtime_infer_block_contract(engine):
     assert engine.cache_pitchf[-16:].min() > 0
 
 
+def test_batched_realtime_matches_single(engine):
+    """BatchedRealtimeVC (vmapped block graph) must reproduce per-stream
+    single-engine outputs given the same pitch inputs and noise keys."""
+    from tpu_rvc.pipeline.rt import BatchedRealtimeVC
+
+    batched = BatchedRealtimeVC(
+        n_streams=2, hubert=engine.hubert, hubert_vars=engine.hubert_vars,
+        synth=engine.synth, synth_vars=engine.synth_vars, version="v2",
+        if_f0=1)
+    win0 = tone(220.0, dur=1.0)
+    win1 = tone(330.0, dur=1.0)
+    block_16k = 2560
+    p_len = len(win0) // 160
+    # fixed pitch for exact comparability (noise keys differ per stream
+    # in the batched engine, so compare the deterministic f0/feature path
+    # by pinning the same pitch and checking stream independence)
+    pitch = np.full((2, p_len), 120, np.int32)
+    pitchf = np.full((2, p_len), 220.0, np.float32)
+
+    out_b = batched.infer(np.stack([win0, win1]), block_16k, skip_head=64,
+                          return_length=28, f0method=(pitch, pitchf))
+    assert out_b.shape == (2, 28 * 160)
+    assert np.isfinite(out_b).all()
+    # streams are independent: different inputs -> different outputs
+    assert np.abs(out_b[0] - out_b[1]).max() > 1e-4
+
+    # exact parity of the vmapped graph vs the single-stream graph: same
+    # inputs + same noise key -> same samples, per stream
+    run = engine._make_run(len(win0), 64, 28, 28, True, False, False)
+    d = 64
+    vecs, sq = jnp.zeros((1, d), jnp.float32), jnp.zeros((1,), jnp.float32)
+    keys = jnp.stack([jax.random.PRNGKey(7), jax.random.PRNGKey(8)])
+    wavs = jnp.asarray(np.stack([win0, win1]))
+    single = [np.asarray(run(
+        engine.hubert_vars, engine.synth_vars, wavs[b],
+        jnp.asarray(pitch[b]), jnp.asarray(pitchf[b]), vecs, sq,
+        jnp.asarray(0.0), jnp.asarray(1.0), keys[b])) for b in range(2)]
+    vmapped = np.asarray(jax.vmap(
+        run, in_axes=(None, None, 0, 0, 0, None, None, None, None, 0))(
+        engine.hubert_vars, engine.synth_vars, wavs, jnp.asarray(pitch),
+        jnp.asarray(pitchf), vecs, sq, jnp.asarray(0.0), jnp.asarray(1.0),
+        keys))
+    for b in range(2):
+        np.testing.assert_allclose(vmapped[b], single[b], atol=2e-5)
+
+
 def test_realtime_formant_shift_resamples(engine):
     win = tone(dur=1.0)
     engine.set_formant(2.0)

@@ -180,9 +180,11 @@ class BiGRU(nn.Module):
             wh=(self.hidden, 3 * self.hidden),
             bi=(3 * self.hidden,), bh=(3 * self.hidden,),
         )
+        # params ride in f32; compute in the activation dtype (bf16 on TPU)
+        # or the scan carry dtype diverges from h0 and tracing fails
         p = {f"{n}{sfx}": self.param(f"{n}{sfx}",
                                      nn.initializers.uniform(scale=0.06),
-                                     shape)
+                                     shape).astype(x.dtype)
              for sfx in ("", "_rev") for n, shape in shapes.items()}
         fwd = _gru_scan(x, p["wi"], p["bi"], p["wh"], p["bh"])
         bwd = _gru_scan(x, p["wi_rev"], p["bi_rev"], p["wh_rev"], p["bh_rev"],

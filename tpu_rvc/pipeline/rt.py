@@ -69,13 +69,11 @@ class RealtimeVC:
     def set_index_rate(self, rate):  # reference rtrvc.py:128
         self.index_rate = rate
 
-    def _graph(self, L16: int, skip_head: int, return_length: int,
-               return_length2: int, use_f0: bool, has_index: bool,
-               protect_on: bool):
-        key = (L16, skip_head, return_length, return_length2, use_f0,
-               has_index, protect_on)
-        if key in self._graphs:
-            return self._graphs[key]
+    def _make_run(self, L16: int, skip_head: int, return_length: int,
+                  return_length2: int, use_f0: bool, has_index: bool,
+                  protect_on: bool):
+        """The single-stream block graph body (unbatched inputs).
+        BatchedRealtimeVC vmaps this same function over streams."""
 
         def run(hubert_vars, synth_vars, wav16, pitch, pitchf, index_vecs,
                 index_sq, index_rate, protect, noise_key):
@@ -106,7 +104,17 @@ class RealtimeVC:
                     method=self.synth.infer, rngs={"noise": noise_key})
             return audio[0, :, 0].astype(jnp.float32)
 
-        self._graphs[key] = jax.jit(run)
+        return run
+
+    def _graph(self, L16: int, skip_head: int, return_length: int,
+               return_length2: int, use_f0: bool, has_index: bool,
+               protect_on: bool):
+        key = (L16, skip_head, return_length, return_length2, use_f0,
+               has_index, protect_on)
+        if key not in self._graphs:
+            self._graphs[key] = jax.jit(self._make_run(
+                L16, skip_head, return_length, return_length2, use_f0,
+                has_index, protect_on))
         return self._graphs[key]
 
     def infer(self, input_wav: np.ndarray, block_frame_16k: int,
@@ -170,6 +178,102 @@ class RealtimeVC:
             out = np.asarray(resample_poly(
                 jnp.asarray(out[: return_length * upp_res][None]),
                 upp_res * 100, self.tgt_sr))[0]
+        return out
+
+
+class BatchedRealtimeVC(RealtimeVC):
+    """N concurrent streaming sessions served by ONE jitted graph — the
+    single-stream block body (`_make_run`) vmapped over a stream axis.
+
+    A serving extension beyond the reference (whose realtime engine is
+    strictly single-stream, rtrvc.py:19): per-chip realtime capacity
+    scales with the batch dimension instead of one process per user.
+    Pitch caches and noise keys are per-stream; the retrieval index and
+    conversion settings are shared across streams."""
+
+    def __init__(self, n_streams: int, **kw):
+        super().__init__(**kw)
+        self.n_streams = int(n_streams)
+        self.cache_pitch = np.zeros((self.n_streams, 1024), np.int32)
+        self.cache_pitchf = np.zeros((self.n_streams, 1024), np.float32)
+
+    def _graph(self, L16, skip_head, return_length, return_length2,
+               use_f0, has_index, protect_on):
+        key = ("batched", L16, skip_head, return_length, return_length2,
+               use_f0, has_index, protect_on)
+        if key not in self._graphs:
+            run = self._make_run(L16, skip_head, return_length,
+                                 return_length2, use_f0, has_index,
+                                 protect_on)
+            self._graphs[key] = jax.jit(jax.vmap(
+                run, in_axes=(None, None, 0, 0, 0, None, None, None, None,
+                              0)))
+        return self._graphs[key]
+
+    def infer(self, input_wavs: np.ndarray, block_frame_16k: int,
+              skip_head: int, return_length: int,
+              f0method: Union[tuple, str] = "pm",
+              protect: float = 1.0) -> np.ndarray:
+        """Convert one rolling window for every stream.
+        input_wavs: (n_streams, L16) -> (n_streams, samples)."""
+        input_wavs = np.asarray(input_wavs, np.float32)
+        B, L16 = input_wavs.shape
+        assert B == self.n_streams, (B, self.n_streams)
+        p_len = L16 // WINDOW
+        factor = 2.0 ** (self.formant_shift / 12)
+        return_length2 = int(np.ceil(return_length * factor))
+        use_f0 = self.if_f0 == 1
+        protect_on = use_f0 and protect < 0.5
+
+        pitch = np.zeros((B, p_len), np.int32)
+        pitchf = np.zeros((B, p_len), np.float32)
+        if isinstance(f0method, tuple):
+            pitch_t, pitchf_t = f0method
+            pitch[:, :pitch_t.shape[-1]] = pitch_t[..., :p_len]
+            pitchf[:, :pitchf_t.shape[-1]] = pitchf_t[..., :p_len]
+        elif use_f0:
+            f0_extractor_frame = block_frame_16k + 800
+            if f0method == "rmvpe":
+                f0_extractor_frame = (
+                    5120 * ((f0_extractor_frame - 1) // 5120 + 1) - WINDOW)
+            shift = block_frame_16k // WINDOW
+            for b in range(B):
+                c, f = self.f0_gen.calculate(
+                    input_wavs[b, -f0_extractor_frame:], None,
+                    self.f0_up_key - self.formant_shift, f0method, None)
+                self.cache_pitch[b, :-shift] = self.cache_pitch[b, shift:]
+                self.cache_pitchf[b, :-shift] = self.cache_pitchf[b, shift:]
+                n_new = len(c) - 4
+                self.cache_pitch[b, -n_new:] = c[3:-1]
+                self.cache_pitchf[b, -n_new:] = f[3:-1]
+            pitch = self.cache_pitch[:, -p_len:].astype(np.int32)
+            pitchf = (self.cache_pitchf[:, -p_len:] *
+                      (return_length2 / return_length)).astype(np.float32)
+
+        has_index = self.index is not None and self.index_rate > 0
+        if has_index:
+            vecs, sq = self.index.device_arrays()
+        else:
+            d = 256 if self.version == "v1" else 768
+            vecs, sq = (jnp.zeros((1, d), jnp.float32),
+                        jnp.zeros((1,), jnp.float32))
+
+        graph = self._graph(L16, skip_head, return_length, return_length2,
+                            use_f0, has_index, protect_on)
+        self._step += 1
+        base = jax.random.PRNGKey(self._step)
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            base, jnp.arange(B, dtype=jnp.uint32))
+        out = np.asarray(graph(
+            self.hubert_vars, self.synth_vars,
+            jnp.asarray(input_wavs), jnp.asarray(pitch), jnp.asarray(pitchf),
+            vecs, sq, jnp.asarray(self.index_rate, jnp.float32),
+            jnp.asarray(protect, jnp.float32), keys))
+        upp_res = int(np.floor(factor * self.tgt_sr // 100))
+        if upp_res != self.tgt_sr // 100:
+            out = np.asarray(resample_poly(
+                jnp.asarray(out[:, : return_length * upp_res]),
+                upp_res * 100, self.tgt_sr))
         return out
 
 
