@@ -1,8 +1,9 @@
 """Benchmark: single-stream 48 kHz conversion RTF on one chip.
 
-Runs the full-quality offline path (BASELINE.md config 2 shape): 10 s of
+Runs the full-quality offline path (BASELINE.md config 2): 10 s of
 16 kHz input -> HuBERT-base (v2, 768-d) -> exact top-8 retrieval over a
-10k x 768 HBM index -> RMVPE-free f0 (pm, on-device autocorr) -> v2/48k
+10k x 768 HBM index -> device-resident RMVPE f0 (DeepUnet + BiGRU +
+local-average-cents decode, fused into the same dispatch) -> v2/48k
 synthesizer (enc_p + reverse flow + NSF-HiFiGAN) -> 48 kHz audio.
 
 Weights are randomly initialized (no pretrained assets in this environment);
@@ -55,6 +56,14 @@ def main():
                     synth=syn, synth_vars=syn_vars, version="v2",
                     dtype=dtype)
 
+    # device-resident RMVPE (BASELINE config 2's f0 method); random-init
+    # weights are FLOP- and traffic-identical to the published rmvpe.pt
+    from tpu_rvc.f0.rmvpe import RMVPE
+    from tpu_rvc.models.rmvpe import E2E
+    rmvpe_vars = E2E().init(jax.random.PRNGKey(3), jnp.zeros((1, 128, 32)))
+    pipe.f0_gen._estimators["rmvpe"] = RMVPE(variables=rmvpe_vars,
+                                             dtype=dtype)
+
     # 10k x 768 retrieval index (the post-kmeans size for big datasets)
     np_rng = np.random.default_rng(0)
     index = build_index(np_rng.standard_normal((10_000, 768)).astype(np.float32))
@@ -67,7 +76,7 @@ def main():
 
     def convert(fetch=True):
         times = [0.0, 0.0, 0.0]
-        return pipe.pipeline(0, audio, times, 0, "pm", index, 0.75, 1, 3,
+        return pipe.pipeline(0, audio, times, 0, "rmvpe", index, 0.75, 1, 3,
                              0, 0.25, 0.33, fetch=fetch)
 
     # warmup/compile
