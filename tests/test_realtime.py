@@ -105,6 +105,50 @@ def test_batched_realtime_matches_single(engine):
         np.testing.assert_allclose(vmapped[b], single[b], atol=2e-5)
 
 
+def test_fused_stream_graph_batched(engine):
+    """Multi-stream FusedStreamGraph: one dispatch advances N sessions;
+    per-stream results equal the unbatched _run with matched keys."""
+    from tpu_rvc.pipeline.rt import FusedStreamGraph
+
+    sr = 16000
+    zc = sr // 100
+    block = 16 * zc           # 160 ms
+    total = 100 * zc          # 1 s rolling window
+    fused = FusedStreamGraph(engine, stream_sr=sr, block_frame=block,
+                             ctx_frame=2 * zc, total_len=total,
+                             skip_head=64, return_length=28,
+                             f0method="pm", n_streams=2)
+    state = fused.init_state()
+    assert state["wav16"].shape[0] == 2
+    seg = np.stack([tone(220.0, dur=(block + 2 * zc) / sr),
+                    tone(330.0, dur=(block + 2 * zc) / sr)])
+    out, state = fused(state, seg)
+    assert out.shape == (2, 28 * 160)
+    assert np.isfinite(out).all()
+    out2, state = fused(state, seg)  # state rolls forward per stream
+    assert np.abs(out2[0] - out2[1]).max() > 1e-4  # independent streams
+
+    # exact parity: vmapped _run row vs single _run with the same inputs
+    key = jax.random.PRNGKey(123)
+    d = 64
+    vecs, sq = jnp.zeros((1, d), jnp.float32), jnp.zeros((1,), jnp.float32)
+    args = (engine.hubert_vars, engine.synth_vars, {},
+            jax.tree.map(lambda x: x[0], state), jnp.asarray(seg[0]),
+            vecs, sq, jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(1.0),
+            key)
+    out_s, st_s = fused._run(*args)
+    out_v, st_v = jax.vmap(
+        fused._run, in_axes=(None, None, None, 0, 0, None, None, None,
+                             None, None, 0))(
+        engine.hubert_vars, engine.synth_vars, {}, state, jnp.asarray(seg),
+        vecs, sq, jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(1.0),
+        jnp.stack([key, jax.random.PRNGKey(7)]))
+    np.testing.assert_allclose(np.asarray(out_v[0]), np.asarray(out_s),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_v["wav16"][0]),
+                               np.asarray(st_s["wav16"]), atol=1e-6)
+
+
 def test_realtime_formant_shift_resamples(engine):
     win = tone(dur=1.0)
     engine.set_formant(2.0)

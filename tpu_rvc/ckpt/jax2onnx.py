@@ -26,7 +26,7 @@ banded relative attention shuffles) are all covered by it.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -162,13 +162,18 @@ class _Builder:
             pass
         elif arr.dtype not in ONNX_DTYPE:
             arr = arr.astype(np.float32)
-        key = (arr.tobytes(), str(arr.dtype), arr.shape)
-        h = hash(key)
-        if h in self._const_names:
-            return self._const_names[h]
+        # dedup small constants by value; big tensors by identity only
+        # (hash-of-bytes collisions would silently alias distinct weights,
+        # so the full key is kept for the small ones)
+        if arr.nbytes <= 1 << 16:
+            key = (arr.tobytes(), str(arr.dtype), arr.shape)
+        else:
+            key = id(arr)
+        if key in self._const_names:
+            return self._const_names[key]
         name = self.fresh(hint)
         self.initializers[name] = arr
-        self._const_names[h] = name
+        self._const_names[key] = name
         return name
 
     def node(self, op: str, inputs: List[str], n_out: int = 1,

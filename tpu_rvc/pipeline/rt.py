@@ -496,8 +496,9 @@ class FusedStreamGraph:
     def __init__(self, engine: RealtimeVC, *, stream_sr: int,
                  block_frame: int, ctx_frame: int, total_len: int,
                  skip_head: int, return_length: int, f0method: str = "pm",
-                 protect: float = 1.0):
+                 protect: float = 1.0, n_streams: int = 1):
         self.engine = engine
+        self.n_streams = int(n_streams)
         self.stream_sr = stream_sr
         self.block_frame = block_frame          # stream-rate samples
         self.ctx_frame = ctx_frame              # extra context uploaded
@@ -517,15 +518,30 @@ class FusedStreamGraph:
             else:
                 self._rmvpe_model = est.model
                 self._rmvpe_vars = est.variables
-        self._jit = jax.jit(self._run, donate_argnums=(3,))
+        if self.n_streams == 1:
+            self._jit = jax.jit(self._run, donate_argnums=(3,))
+        else:
+            # multi-stream serving: one dispatch advances every session
+            # (state, fresh segment, and noise key carry a stream axis;
+            # weights and the retrieval index are shared)
+            self._jit = jax.jit(
+                jax.vmap(self._run,
+                         in_axes=(None, None, None, 0, 0, None, None, None,
+                                  None, None, 0)),
+                donate_argnums=(3,))
         self._step = 0
 
     def init_state(self):
-        return {
+        state = {
             "wav16": jnp.zeros(self.total_16k, jnp.float32),
             "cache_pitch": jnp.zeros(1024, jnp.int32),
             "cache_pitchf": jnp.zeros(1024, jnp.float32),
         }
+        if self.n_streams > 1:
+            state = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (self.n_streams,) + x.shape),
+                state)
+        return state
 
     def _run(self, hubert_vars, synth_vars, rmvpe_vars, state, seg48,
              index_vecs, index_sq, index_rate, up_key, protect, noise_key):
@@ -624,11 +640,17 @@ class FusedStreamGraph:
             vecs, sq = (jnp.zeros((1, d), jnp.float32),
                         jnp.zeros((1,), jnp.float32))
         self._step += 1
+        if self.n_streams == 1:
+            key = jax.random.PRNGKey(self._step)
+        else:
+            key = jax.vmap(jax.random.fold_in, (None, 0))(
+                jax.random.PRNGKey(self._step),
+                jnp.arange(self.n_streams, dtype=jnp.uint32))
         out, new_state = self._jit(
             eng.hubert_vars, eng.synth_vars, self._rmvpe_vars, state,
             jnp.asarray(seg48),
             vecs, sq, jnp.asarray(eng.index_rate, jnp.float32),
             jnp.asarray(float(eng.f0_up_key)),
             jnp.asarray(self.protect, jnp.float32),
-            jax.random.PRNGKey(self._step))
+            key)
         return np.asarray(out), new_state
