@@ -35,6 +35,8 @@ def main():
     p.add_argument("--protect", type=float, default=0.33)
     p.add_argument("--fp32", action="store_true",
                    help="disable bfloat16 compute")
+    p.add_argument("--chunk-parallel", action="store_true",
+                   help="shard a long file's chunks over all devices")
     args = p.parse_args()
 
     import numpy as np
@@ -62,7 +64,8 @@ def main():
     info, (sr, audio) = vc.vc_single(
         args.sid, args.input, args.f0_up_key, args.f0_method, index,
         args.index_rate, args.filter_radius, args.resample_sr,
-        args.rms_mix_rate, args.protect, f0_file)
+        args.rms_mix_rate, args.protect, f0_file,
+        chunk_parallel=args.chunk_parallel)
     save_audio(args.output, audio, sr)
     print(f"{info}\nwrote {args.output} ({len(audio) / sr:.2f}s @ {sr} Hz)")
 

@@ -97,7 +97,11 @@ def test_gan_train_step_runs_and_learns():
             m0 = metrics
     assert int(state.step) == 3
     for k, v in metrics.items():
-        assert np.isfinite(float(v)), f"{k} not finite"
+        assert np.isfinite(np.asarray(v)).all(), f"{k} not finite"
+    # slice mels for image logging ride along (reference train.py:620-633)
+    seg_frames = TINY_HP.train.segment_size // TINY_HP.data.hop_length
+    assert metrics["mel_org"].shape == metrics["mel_gen"].shape
+    assert metrics["mel_org"].shape[0] == seg_frames
     # discriminator should be improving on a fixed batch
     assert float(metrics["loss_disc"]) < float(m0["loss_disc"]) + 1.0
 

@@ -37,7 +37,9 @@ def _sinc_kernel(up: int, down: int, width: int = 64, rolloff: float = 0.945,
     # phase offsets for each of the `up` output phases
     t = (idx[None, :] - np.arange(up)[:, None] / up) * 2 * cutoff
     window = np.i0(beta * np.sqrt(np.clip(1 - (t / (2 * cutoff * half)) ** 2, 0, 1))) / np.i0(beta)
-    kern = np.where(t == 0, 1.0, np.sin(np.pi * t) / (np.pi * t)) * window
+    safe_t = np.where(t == 0, 1.0, t)  # sinc(0)=1 without a 0/0 warning
+    kern = np.where(t == 0, 1.0,
+                    np.sin(np.pi * safe_t) / (np.pi * safe_t)) * window
     kern = kern * (2 * cutoff)
     return kern.astype(np.float32)  # (up, 2*half+1)
 

@@ -42,6 +42,23 @@ def _bucket(n: int, step: int = SR) -> int:
     return int(math.ceil(n / step)) * step
 
 
+def silence_chunk_bounds(audio: np.ndarray, t_center: int, t_query: int,
+                         t_max: int) -> List[int]:
+    """Quietest-sample split points for long audio (reference
+    pipeline.py:224-236): one cut near every t_center boundary, searched
+    within +-t_query samples.  Empty list if audio fits in one chunk."""
+    opt_ts: List[int] = []
+    audio_pad_w = np.pad(audio, (WINDOW // 2, WINDOW // 2), mode="reflect")
+    if audio_pad_w.shape[0] > t_max:
+        audio_sum = np.zeros_like(audio)
+        for i in range(WINDOW):
+            audio_sum += np.abs(audio_pad_w[i: i - WINDOW])
+        for t in range(t_center, audio.shape[0], t_center):
+            win = audio_sum[t - t_query: t + t_query]
+            opt_ts.append(t - t_query + int(np.argmin(win)))
+    return opt_ts
+
+
 def _device_change_rms(source, sr1, target, sr2, rate):
     """In-graph RMS envelope mix (reference change_rms, pipeline.py:26):
     target *= rms(source)^(1-rate) * rms(target)^(rate-1).  rate==1 is the
@@ -264,15 +281,8 @@ class Pipeline:
         audio = highpass_filter(np.asarray(audio, np.float32))
 
         # silence-point chunking for long audio (pipeline.py:224-236)
-        opt_ts: List[int] = []
-        audio_pad_w = np.pad(audio, (WINDOW // 2, WINDOW // 2), mode="reflect")
-        if audio_pad_w.shape[0] > self.t_max:
-            audio_sum = np.zeros_like(audio)
-            for i in range(WINDOW):
-                audio_sum += np.abs(audio_pad_w[i: i - WINDOW])
-            for t in range(self.t_center, audio.shape[0], self.t_center):
-                win = audio_sum[t - self.t_query: t + self.t_query]
-                opt_ts.append(t - self.t_query + int(np.argmin(win)))
+        opt_ts = silence_chunk_bounds(audio, self.t_center, self.t_query,
+                                      self.t_max)
 
         audio_pad = np.pad(audio, (self.t_pad, self.t_pad), mode="reflect")
         p_len = audio_pad.shape[0] // WINDOW
@@ -435,11 +445,15 @@ class VC:
                   f0_method: str = "rmvpe", index: Optional[FeatureIndex] = None,
                   index_rate: float = 0.75, filter_radius: int = 3,
                   resample_sr: int = 0, rms_mix_rate: float = 0.25,
-                  protect: float = 0.33, f0_file=None, fetch: bool = True):
+                  protect: float = 0.33, f0_file=None, fetch: bool = True,
+                  chunk_parallel: bool = False):
         """Convert one file (reference vc_single, modules.py:117).
         Returns (info_message, (sr, int16 audio)).  fetch=False may leave
         the audio on device (callers fetch with np.asarray) so batch
-        callers can overlap the D2H transfer with the next dispatch."""
+        callers can overlap the D2H transfer with the next dispatch.
+        chunk_parallel=True shards a long file's silence-split chunks over
+        every visible device (tpu_rvc.parallel.convert_long) — a scaling
+        mode the reference does not have."""
         from tpu_rvc.audio.io import load_audio
 
         if self.pipeline is None:
@@ -449,10 +463,24 @@ class VC:
         if audio_max > 1:
             audio = audio / audio_max
         times = [0.0, 0.0, 0.0]
-        out = self.pipeline.pipeline(
-            sid, audio, times, f0_up_key, f0_method, index, index_rate,
-            self.if_f0, filter_radius, resample_sr, rms_mix_rate, protect,
-            f0_file, fetch=fetch)
+        if chunk_parallel and f0_file is None:
+            import jax
+            from tpu_rvc.core.mesh import make_mesh
+            from tpu_rvc.parallel.chunks import convert_long
+            t0 = time.time()
+            out = convert_long(
+                self.pipeline, sid, audio,
+                make_mesh(n_data=jax.device_count()),
+                f0_up_key=f0_up_key, f0_method=f0_method, index=index,
+                index_rate=index_rate, if_f0=self.if_f0,
+                filter_radius=filter_radius, resample_sr=resample_sr,
+                rms_mix_rate=rms_mix_rate, protect=protect)
+            times[2] += time.time() - t0
+        else:
+            out = self.pipeline.pipeline(
+                sid, audio, times, f0_up_key, f0_method, index, index_rate,
+                self.if_f0, filter_radius, resample_sr, rms_mix_rate,
+                protect, f0_file, fetch=fetch)
         tgt = (resample_sr if self.tgt_sr != resample_sr and
                resample_sr >= SR else self.tgt_sr)
         info = (f"npy: {times[0]:.2f}s, f0: {times[1]:.2f}s, "

@@ -60,6 +60,17 @@ def export_reference_g_pth(path: str, g_params, epoch: int, lr: float,
               "optimizer": None}, path)
 
 
+def mel_image(mel: np.ndarray) -> np.ndarray:
+    """(T, M) mel -> (3, M, T) float image in [0, 1] for tensorboard
+    (role of the reference's plot_spectrogram_to_numpy,
+    infer/lib/train/utils.py:110-126, without matplotlib)."""
+    m = np.asarray(mel, np.float32).T[::-1]  # (M, T), low freqs at bottom
+    lo, hi = float(m.min()), float(m.max())
+    m = (m - lo) / (hi - lo + 1e-8)
+    # simple blue->yellow ramp so org/gen diffs are visible in color
+    return np.stack([m, m, 1.0 - m])
+
+
 def latest_checkpoint(dirpath: str, prefix: str = "state_") -> Optional[str]:
     """Highest-numbered native checkpoint (reference utils.py:129 role)."""
     paths = glob.glob(os.path.join(dirpath, f"{prefix}*.npz"))
@@ -151,6 +162,8 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
                                      jax.random.PRNGKey(hp.train.seed))
             n_batches += 1
             step_i = int(state.step)
+            mel_org = metrics.pop("mel_org", None)
+            mel_gen = metrics.pop("mel_gen", None)
             if tb is not None and step_i % hp.train.log_interval == 0:
                 for k, v in metrics.items():
                     tb.add_scalar(f"train/{k}", float(v), step_i)
@@ -159,6 +172,11 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
                     hp.train.learning_rate *
                     hp.train.lr_decay ** (step_i // max(steps_per_epoch, 1)),
                     step_i)
+                # slice mel images, reference train.py:620-633
+                if mel_org is not None:
+                    tb.add_image("slice/mel_org", mel_image(mel_org), step_i)
+                if mel_gen is not None:
+                    tb.add_image("slice/mel_gen", mel_image(mel_gen), step_i)
         log(f"epoch {epoch + 1}/{total_epochs}: "
             f"{n_batches} steps in {time.time() - t0:.1f}s, "
             + ", ".join(f"{k}={float(v):.3f}" for k, v in metrics.items()))

@@ -183,17 +183,24 @@ def make_train_step(net_g: Synthesizer, net_d: MultiPeriodDiscriminator,
             loss_fm = feature_loss(fmap_r, fmap_g)
             loss_gen, _ = generator_loss(y_dg)
             total = loss_gen + loss_fm + loss_mel + loss_kl
-            return total, {"loss_gen": loss_gen, "loss_fm": loss_fm,
-                           "loss_mel": loss_mel, "loss_kl": loss_kl}
+            return total, ({"loss_gen": loss_gen, "loss_fm": loss_fm,
+                            "loss_mel": loss_mel, "loss_kl": loss_kl},
+                           y_mel, y_hat_mel)
 
-        (loss_gen_all, parts), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g_params)
+        (loss_gen_all, (parts, y_mel, y_hat_mel)), g_grads = \
+            jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
         g_updates, g_opt = opt_g.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 
         metrics = {"loss_disc": loss_disc, "loss_gen_all": loss_gen_all,
                    "grad_norm_g": optax.global_norm(g_grads),
-                   "grad_norm_d": optax.global_norm(d_grads), **parts}
+                   "grad_norm_d": optax.global_norm(d_grads), **parts,
+                   # first-sample slice mels for image logging at
+                   # log_interval (reference train.py:604-633 slice/mel_org,
+                   # slice/mel_gen); tiny (seg_frames x n_mel), popped by
+                   # the loop before scalar logging
+                   "mel_org": y_mel[0].astype(jnp.float32),
+                   "mel_gen": y_hat_mel[0].astype(jnp.float32)}
         new_state = TrainState(g_params, d_params, g_opt, d_opt,
                                state.step + 1)
         return new_state, metrics
