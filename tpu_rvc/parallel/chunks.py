@@ -32,7 +32,12 @@ from tpu_rvc.pipeline.vc import (SR, WINDOW, _bucket, silence_chunk_bounds)
 
 def _batched_chunk_graph(pipeline, bucket: int, mesh: Mesh, *,
                          use_f0: bool, has_index: bool, protect_on: bool):
-    """vmap the per-chunk graph over a chunk axis sharded on `data`."""
+    """vmap the per-chunk graph over a chunk axis sharded on `data`.
+    Cached on the pipeline so repeated long files reuse the compilation."""
+    cache_key = ("chunk_par", bucket, use_f0, has_index, protect_on,
+                 tuple(sorted(mesh.shape.items())))
+    if cache_key in pipeline._graphs:
+        return pipeline._graphs[cache_key]
     core = pipeline._chunk_graph(bucket, use_f0, has_index,
                                  protect_on).__wrapped__
     batched = jax.vmap(
@@ -50,14 +55,21 @@ def _batched_chunk_graph(pipeline, bucket: int, mesh: Mesh, *,
     repl = NamedSharding(mesh, P())
     like = lambda tree, s: jax.tree_util.tree_map(lambda _: s, tree)
 
+    jitted = [None]
+
     def run(hubert_vars, synth_vars, audio, true_len, sid, pit, pitf,
             vecs, sq, index_rate, protect, noise_key):
-        in_sh = (like(hubert_vars, repl), like(synth_vars, repl),
-                 data, data, repl, data, data, repl, repl, repl, repl, repl)
-        return jax.jit(scaled, in_shardings=in_sh, out_shardings=data)(
-            hubert_vars, synth_vars, audio, true_len, sid, pit, pitf,
-            vecs, sq, index_rate, protect, noise_key)
+        if jitted[0] is None:
+            in_sh = (like(hubert_vars, repl), like(synth_vars, repl),
+                     data, data, repl, data, data, repl, repl, repl, repl,
+                     repl)
+            jitted[0] = jax.jit(scaled, in_shardings=in_sh,
+                                out_shardings=data)
+        return jitted[0](hubert_vars, synth_vars, audio, true_len, sid,
+                         pit, pitf, vecs, sq, index_rate, protect,
+                         noise_key)
 
+    pipeline._graphs[cache_key] = run
     return run
 
 
