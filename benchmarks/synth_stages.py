@@ -1,12 +1,12 @@
 #!/usr/bin/env python
 """Per-stage microbenchmark of the v2/48k NSF-HiFiGAN decoder shapes.
 
-Each stage runs as its own jitted program returning a scalar checksum
-(8-byte fetch — timing is compute + dispatch, no payload transfer; see
-CLAUDE.md on the remote-attached backend).  Identifies which decoder
-stage eats the synthesizer's time budget.
+The remote-attached backend has a ~30 ms per-dispatch RTT floor, so a
+single op is unmeasurable.  Each stage therefore runs R times inside ONE
+jitted lax.scan (data-dependent carry, no CSE) and the floor (timed with
+an empty-ish program) is subtracted:  t_op = (t - floor) / R.
 
-Usage: python benchmarks/synth_stages.py [seconds_of_audio]  (default 10)
+Usage: python benchmarks/synth_stages.py [seconds] [repeats]
 """
 
 import statistics
@@ -23,8 +23,7 @@ from tpu_rvc.ops.conv import conv1d, conv1d_im2col, conv_transpose1d_poly
 from tpu_rvc.nn.modules import LRELU_SLOPE
 
 
-def timeit(fn, *args, n=7):
-    jfn = jax.jit(fn)
+def timeit(jfn, *args, n=5):
     np.asarray(jfn(*args))  # compile
     walls = []
     for _ in range(n):
@@ -35,7 +34,6 @@ def timeit(fn, *args, n=7):
 
 
 def resblock(x, ws, bs, k, dilations):
-    # ResBlock1: for d in dilations: x += c2(lrelu(c1_d(lrelu(x))))
     for i, d in enumerate(dilations):
         xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
         xt = conv1d_im2col(xt, ws[2 * i], bs[2 * i],
@@ -47,25 +45,37 @@ def resblock(x, ws, bs, k, dilations):
     return x
 
 
-def main(dur_s: float):
+def main(dur_s: float, R: int):
     dtype = (jnp.bfloat16 if jax.devices()[0].platform != "cpu"
              else jnp.float32)
     rng = np.random.default_rng(0)
     frames = int(dur_s * 100)  # 48k, hop 480
     ups = [(frames, 512, 256, 24, 12), (frames * 12, 256, 128, 20, 10),
            (frames * 120, 128, 64, 4, 2), (frames * 240, 64, 32, 4, 2)]
+
+    xbig = jnp.asarray(rng.standard_normal((1, frames * 480, 8)) * .1, dtype)
+    floor = timeit(jax.jit(lambda x: jnp.sum(x.astype(jnp.float32))), xbig)
+    print(f"dispatch+sync floor: {floor * 1e3:.1f} ms", flush=True)
     rows = []
 
     for T, cin, cout, k, u in ups:
         x = jnp.asarray(rng.standard_normal((1, T, cin)) * 0.1, dtype)
         w = jnp.asarray(rng.standard_normal((k, cin, cout)) * 0.02, dtype)
         b = jnp.zeros((cout,), dtype)
-        t = timeit(lambda x, w, b: jnp.sum(
-            conv_transpose1d_poly(x, w, b, stride=u,
-                                  padding=(k - u) // 2).astype(jnp.float32)),
-            x, w, b)
+
+        def rep(x, w, b):
+            def body(acc, i):
+                y = conv_transpose1d_poly(
+                    x * (1 + 1e-6 * i), w, b, stride=u, padding=(k - u) // 2)
+                return acc + jnp.sum(y.astype(jnp.float32)), None
+            return jax.lax.scan(body, jnp.float32(0.0),
+                                jnp.arange(R, dtype=jnp.float32))[0]
+
+        t = (timeit(jax.jit(rep), x, w, b) - floor) / R
         fl = 2 * T * u * cin * cout * -(-k // u)
         rows.append((f"convT {T}x{cin}->{cout} k{k} s{u}", t, fl))
+        print(f"  {rows[-1][0]:32s} {t*1e3:7.2f} ms  {fl/t/1e12:6.2f} TF/s",
+              flush=True)
 
     for T, cin, cout, k, u in ups:
         To = T * u
@@ -74,19 +84,25 @@ def main(dur_s: float):
                                    dtype) for _ in range(6))
             bs = tuple(jnp.zeros((cout,), dtype) for _ in range(6))
             x = jnp.asarray(rng.standard_normal((1, To, cout)) * 0.1, dtype)
-            t = timeit(lambda x, ws, bs: jnp.sum(
-                resblock(x, ws, bs, kk, (1, 3, 5)).astype(jnp.float32)),
-                x, ws, bs)
+
+            def rep(x, ws, bs):
+                def body(c, _):
+                    return resblock(c, ws, bs, kk, (1, 3, 5)), None
+                return jnp.sum(jax.lax.scan(body, x, None, length=R)[0]
+                               .astype(jnp.float32))
+
+            t = (timeit(jax.jit(rep), x, ws, bs) - floor) / R
             fl = 6 * 2 * To * kk * cout * cout
             rows.append((f"resblock k{kk} {To}x{cout}", t, fl))
+            print(f"  {rows[-1][0]:32s} {t*1e3:7.2f} ms  "
+                  f"{fl/t/1e12:6.2f} TF/s", flush=True)
 
     tot = sum(t for _, t, _ in rows)
-    print(f"{dur_s:.0f}s of 48k audio ({frames} frames):")
-    for name, t, fl in rows:
-        print(f"  {name:32s} {t * 1e3:7.2f} ms  "
-              f"{fl / t / 1e12:6.2f} TF/s  ({100 * t / tot:4.1f}%)")
-    print(f"  {'TOTAL (decoder conv work)':32s} {tot * 1e3:7.2f} ms")
+    fls = sum(f for _, _, f in rows)
+    print(f"  {'TOTAL decoder conv work':32s} {tot * 1e3:7.2f} ms  "
+          f"{fls/tot/1e12:6.2f} TF/s")
 
 
 if __name__ == "__main__":
-    main(float(sys.argv[1]) if len(sys.argv) > 1 else 10.0)
+    main(float(sys.argv[1]) if len(sys.argv) > 1 else 10.0,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 20)
