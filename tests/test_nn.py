@@ -239,3 +239,36 @@ def test_pallas_resblock_matches_module(rng):
         rk.fused_resblock = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_resblock1_packed_path_matches_reference_math():
+    """C=32 / T%4==0 auto-selects the time-packed conv path; output must
+    equal the plain conv formulation exactly."""
+    from tpu_rvc.nn.modules import ResBlock1, LRELU_SLOPE
+    from tpu_rvc.ops.conv import conv1d
+
+    rng = np.random.default_rng(3)
+    C, T, k = 32, 256, 7
+    rb = ResBlock1(C, k, (1, 3, 5), weight_norm=False)
+    x = jnp.asarray(rng.standard_normal((1, T, C)), jnp.float32)
+    v = rb.init(jax.random.PRNGKey(0), x)
+    y = rb.apply(v, x)  # packed path (T % 4 == 0, k >= 7)
+
+    # reference math with the same parameters, plain convs
+    xe = x
+    p = v["params"]
+    for i, d in enumerate((1, 3, 5)):
+        xt = jax.nn.leaky_relu(xe, LRELU_SLOPE)
+        xt = conv1d(xt, p[f"c1_{i}"]["kernel"], p[f"c1_{i}"]["bias"],
+                    padding=(k - 1) // 2 * d, dilation=d)
+        xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+        xt = conv1d(xt, p[f"c2_{i}"]["kernel"], p[f"c2_{i}"]["bias"],
+                    padding=(k - 1) // 2)
+        xe = xt + xe
+    np.testing.assert_allclose(np.asarray(y), np.asarray(xe),
+                               rtol=1e-5, atol=1e-5)
+
+    # odd T falls back to the unpacked path and still agrees
+    x_odd = x[:, : T - 2]
+    y_odd = rb.apply(v, x_odd)
+    assert y_odd.shape == x_odd.shape

@@ -100,11 +100,21 @@ class Conv1d(nn.Module):
         cin = x.shape[-1]
         w, b = self.make_weights(cin)
         dt = self.dtype or x.dtype
-        # small-channel convs (vocoder resblocks, NSF noise_convs, HuBERT
-        # conv0) hit better MXU utilization as an unfold+matmul
-        # (contraction k*Cin instead of Cin)
-        if (self.groups == 1 and self.kernel_size > 1 and cin <= 96
-                and isinstance(self.padding, int)):
+        # Conv impl choice, from measured TPU A/B at the vocoder's shapes
+        # (benchmarks/synth_stages.py harness; v5e, bf16, T up to 480k):
+        #   - im2col (unfold + one matmul, contraction k*Cin) wins when the
+        #     unfolded contraction stays within ~3 MXU tiles: all k at
+        #     Cin<=32, and k<=3 up to Cin=128 (0.05-0.24 ms vs direct's
+        #     ~0.5-1.4 ms floor).
+        #   - XLA's direct conv wins for k>=7 at Cin>=64 (k-invariant
+        #     ~0.5 ms, up to 85 TF/s at Cin=128 k=11).
+        use_im2col = (self.groups == 1 and self.kernel_size > 1
+                      and isinstance(self.padding, int)
+                      and (cin <= 32
+                           or (self.kernel_size <= 3 and cin <= 128)
+                           or (cin <= 96
+                               and self.kernel_size * cin <= 352)))
+        if use_im2col:
             y = conv_ops.conv1d_im2col(
                 x.astype(dt), w.astype(dt),
                 None if b is None else b.astype(dt),
@@ -298,21 +308,45 @@ class ResBlock1(nn.Module):
             return fused_resblock(
                 x[0], tuple(ws), tuple(bs), kernel_size=self.kernel_size,
                 dilations=tuple(self.dilation), tile=tile)[None]
+        # Time-packed path for the lane-starved late vocoder stages:
+        # (T, C<=64) reshapes freely to (T/p, p*C=128) channel-last, and
+        # each conv runs exactly in packed space with block-structured
+        # weights at full MXU lane width (ops/conv.py conv1d_packed).
+        # Measured faster than direct/im2col for k>=7 at C<=64.
+        packed = (x_mask is None and self.kernel_size >= 7
+                  and self.channels in (32, 64)
+                  and x.shape[1] % (128 // self.channels) == 0)
         for i, d in enumerate(self.dilation):
+            c1 = Conv1d(self.channels, self.kernel_size,
+                        padding=_get_padding(self.kernel_size, d), dilation=d,
+                        weight_norm=self.weight_norm,
+                        kernel_init=normal_001_init, name=f"c1_{i}")
+            c2 = Conv1d(self.channels, self.kernel_size,
+                        padding=_get_padding(self.kernel_size, 1), dilation=1,
+                        weight_norm=self.weight_norm,
+                        kernel_init=normal_001_init, name=f"c2_{i}")
             xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
             if x_mask is not None:
                 xt = xt * x_mask
-            xt = Conv1d(self.channels, self.kernel_size,
-                        padding=_get_padding(self.kernel_size, d), dilation=d,
-                        weight_norm=self.weight_norm,
-                        kernel_init=normal_001_init, name=f"c1_{i}")(xt)
+            if packed:
+                w1, b1 = c1.make_weights(self.channels)
+                xt = conv_ops.conv1d_packed(
+                    xt, w1.astype(xt.dtype),
+                    None if b1 is None else b1.astype(xt.dtype),
+                    pack=128 // self.channels, dilation=d)
+            else:
+                xt = c1(xt)
             xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
             if x_mask is not None:
                 xt = xt * x_mask
-            xt = Conv1d(self.channels, self.kernel_size,
-                        padding=_get_padding(self.kernel_size, 1), dilation=1,
-                        weight_norm=self.weight_norm,
-                        kernel_init=normal_001_init, name=f"c2_{i}")(xt)
+            if packed:
+                w2, b2 = c2.make_weights(self.channels)
+                xt = conv_ops.conv1d_packed(
+                    xt, w2.astype(xt.dtype),
+                    None if b2 is None else b2.astype(xt.dtype),
+                    pack=128 // self.channels, dilation=1)
+            else:
+                xt = c2(xt)
             x = xt + x
         if x_mask is not None:
             x = x * x_mask

@@ -227,3 +227,76 @@ def conv1d_im2col(
     if b is not None:
         y = y + b
     return y
+
+
+def conv1d_packed(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    *,
+    pack: int,
+    dilation: int = 1,
+) -> jax.Array:
+    """'Same'-padded conv1d computed in a time-packed layout.
+
+    The vocoder's late stages run at tiny channel counts (C=32/64) over
+    very long T, starving the MXU's 128 lanes.  Packing p consecutive
+    timesteps into channels — (B, T, C) -> (B, T/p, p*C), a FREE reshape
+    in channel-last layout — turns the conv into an exact conv over packed
+    time with block-structured (k', p*C, p*C) weights, where
+    k' = |{floor((r + d*(j - h)) / p)}| <= ceil((k-1)*d/p) + 1 taps.
+    Zero blocks cost extra FLOPs but every matmul runs at full lane width;
+    measured on TPU this beats both direct conv and plain im2col for
+    k >= 7 at C <= 64 (see benchmarks/synth_stages.py harness).
+
+    x: (B, T, C) with T % pack == 0; w: (K, C, C) (square convs only);
+    output equals conv1d(x, w, b, padding=(K-1)//2*dilation, dilation=d).
+    """
+    import numpy as np
+
+    K, cin, cout = w.shape
+    assert cin == cout, "packed conv supports square channel counts"
+    B, T, C = x.shape
+    p = pack
+    assert T % p == 0 and C == cin
+    h = (K - 1) // 2
+    # packed-tap decomposition: output slot r tap j reads input slot
+    # m = r + d*(j - h): packed time offset floor(m/p), slot m mod p
+    offs = {}
+    for r in range(p):
+        for j in range(K):
+            m = r + dilation * (j - h)
+            offs.setdefault(m // p, []).append((r, j, m % p))
+    s_min, s_max = min(offs), max(offs)
+    # contiguous tap range (missing offsets stay zero blocks) so the conv
+    # padding maps tap t to packed-time offset s_min + t exactly
+    kp = s_max - s_min + 1
+    # scatter original taps into the packed kernel (trace-time indices)
+    ti, ci_, co_ = [], [], []
+    jj = []
+    for s, entries in offs.items():
+        for (r, j, mm) in entries:
+            ti.append(s - s_min)
+            jj.append(j)
+            ci_.append(mm)
+            co_.append(r)
+    ti = np.asarray(ti)
+    jj = np.asarray(jj)
+    ci_ = np.asarray(ci_)
+    co_ = np.asarray(co_)
+    wp = jnp.zeros((kp, p * C, p * C), w.dtype)
+    # block (ci_slot, co_slot) holds w[j] (C x C)
+    cidx = np.arange(C)
+    wp = wp.at[ti[:, None, None],
+               (ci_[:, None, None] * C + cidx[None, :, None]),
+               (co_[:, None, None] * C + cidx[None, None, :])].set(
+        w[jj])
+    xq = x.reshape(B, T // p, p * C)
+    # 'same' output over packed time: tap t reads xq[q + s_min + t], so
+    # left pad = -s_min, right pad = s_max; pad explicitly (asymmetric)
+    xq = jnp.pad(xq, ((0, 0), (-s_min, s_max), (0, 0)))
+    y = conv1d_im2col(xq, wp, None, padding=0)
+    y = y.reshape(B, T, C)
+    if b is not None:
+        y = y + b
+    return y
