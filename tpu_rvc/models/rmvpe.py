@@ -149,11 +149,15 @@ class DeepUnet(nn.Module):
 
 
 def _gru_scan(x, wi, bi, wh, bh, reverse=False):
-    """Single-direction GRU over (B, T, in) -> (B, T, H); torch gate order r,z,n."""
-    H = wh.shape[0]  # wh: (H, 3H)
+    """Single-direction GRU over (B, T, in) -> (B, T, H); torch gate order r,z,n.
 
-    def cell(h, xt):
-        gi = xt @ wi + bi      # (B, 3H)
+    The input projection (the big in->3H matmul) is hoisted out of the
+    scan as ONE (B*T, in) x (in, 3H) matmul; only the small recurrent
+    h @ wh stays sequential."""
+    H = wh.shape[0]  # wh: (H, 3H)
+    gi_all = jnp.swapaxes(x @ wi + bi, 0, 1)  # (T, B, 3H)
+
+    def cell(h, gi):
         gh = h @ wh + bh
         r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
         z = jax.nn.sigmoid(gi[:, H:2 * H] + gh[:, H:2 * H])
@@ -161,10 +165,36 @@ def _gru_scan(x, wi, bi, wh, bh, reverse=False):
         h_new = (1 - z) * n + z * h
         return h_new, h_new
 
-    xt = jnp.swapaxes(x, 0, 1)  # (T, B, in)
     h0 = jnp.zeros((x.shape[0], H), x.dtype)
-    _, ys = jax.lax.scan(cell, h0, xt, reverse=reverse)
+    _, ys = jax.lax.scan(cell, h0, gi_all, reverse=reverse)
     return jnp.swapaxes(ys, 0, 1)
+
+
+def _bigru_fused(x, wi_f, bi_f, wh_f, bh_f, wi_b, bi_b, wh_b, bh_b):
+    """Both GRU directions in ONE scan: the backward pass consumes
+    time-flipped inputs, so a single T-step scan with a direction axis
+    replaces two sequential T-step scans — half the recurrence latency,
+    bit-identical math to running _gru_scan twice."""
+    H = wh_f.shape[0]
+    gi_f = jnp.swapaxes(x @ wi_f + bi_f, 0, 1)            # (T, B, 3H)
+    gi_b = jnp.flip(jnp.swapaxes(x @ wi_b + bi_b, 0, 1), 0)
+    gi = jnp.stack([gi_f, gi_b], axis=1)                  # (T, 2, B, 3H)
+    wh = jnp.stack([wh_f, wh_b])                          # (2, H, 3H)
+    bh = jnp.stack([bh_f, bh_b])[:, None]                 # (2, 1, 3H)
+
+    def cell(h, gi_t):                                    # h: (2, B, H)
+        gh = jnp.einsum("dbh,dhk->dbk", h, wh) + bh
+        r = jax.nn.sigmoid(gi_t[..., :H] + gh[..., :H])
+        z = jax.nn.sigmoid(gi_t[..., H:2 * H] + gh[..., H:2 * H])
+        n = jnp.tanh(gi_t[..., 2 * H:] + r * gh[..., 2 * H:])
+        h_new = (1 - z) * n + z * h
+        return h_new, h_new
+
+    h0 = jnp.zeros((2, x.shape[0], H), x.dtype)
+    _, ys = jax.lax.scan(cell, h0, gi)                    # (T, 2, B, H)
+    fwd = jnp.swapaxes(ys[:, 0], 0, 1)                    # (B, T, H)
+    bwd = jnp.swapaxes(jnp.flip(ys[:, 1], 0), 0, 1)
+    return jnp.concatenate([fwd, bwd], axis=-1)
 
 
 class BiGRU(nn.Module):
@@ -186,10 +216,9 @@ class BiGRU(nn.Module):
                                      nn.initializers.uniform(scale=0.06),
                                      shape).astype(x.dtype)
              for sfx in ("", "_rev") for n, shape in shapes.items()}
-        fwd = _gru_scan(x, p["wi"], p["bi"], p["wh"], p["bh"])
-        bwd = _gru_scan(x, p["wi_rev"], p["bi_rev"], p["wh_rev"], p["bh_rev"],
-                        reverse=True)
-        return jnp.concatenate([fwd, bwd], axis=-1)
+        return _bigru_fused(x, p["wi"], p["bi"], p["wh"], p["bh"],
+                            p["wi_rev"], p["bi_rev"], p["wh_rev"],
+                            p["bh_rev"])
 
 
 class E2E(nn.Module):
