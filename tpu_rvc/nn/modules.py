@@ -308,14 +308,12 @@ class ResBlock1(nn.Module):
             return fused_resblock(
                 x[0], tuple(ws), tuple(bs), kernel_size=self.kernel_size,
                 dilations=tuple(self.dilation), tile=tile)[None]
-        # Time-packed path for the lane-starved late vocoder stages:
-        # (T, C<=64) reshapes freely to (T/p, p*C=128) channel-last, and
-        # each conv runs exactly in packed space with block-structured
-        # weights at full MXU lane width (ops/conv.py conv1d_packed).
-        # Measured faster than direct/im2col for k>=7 at C<=64.
-        packed = (x_mask is None and self.kernel_size >= 7
-                  and self.channels in (32, 64)
-                  and x.shape[1] % (128 // self.channels) == 0)
+        # Time-packed conv path (ops/conv.py conv1d_packed): measured ON
+        # TPU as a NET REGRESSION in the full decoder graph (v2/48k
+        # 10 s: decoder 43.8 -> 63.9 ms) — the block-sparse packed
+        # weights waste 2-5x FLOPs, which outweighs the lane-width gain.
+        # Kept available (parity-tested) but disabled.
+        packed = False
         for i, d in enumerate(self.dilation):
             c1 = Conv1d(self.channels, self.kernel_size,
                         padding=_get_padding(self.kernel_size, d), dilation=d,
