@@ -58,7 +58,8 @@ class Api:
                       filter_radius: int = 3, resample_sr: int = 0,
                       rms_mix_rate: float = 1.0, protect: float = 0.33,
                       model_name: str = "", output_path: str = "out.wav",
-                      f0_file: Optional[str] = None):
+                      f0_file: Optional[str] = None,
+                      chunk_parallel: bool = False):
         vc, _ = self._get_vc(model_name)
         index = None
         if file_index and os.path.exists(file_index):
@@ -66,7 +67,8 @@ class Api:
             index = FeatureIndex.load(file_index)
         info, (sr, audio) = vc.vc_single(
             sid, input_audio_path, f0_up_key, f0_method, index, index_rate,
-            filter_radius, resample_sr, rms_mix_rate, protect)
+            filter_radius, resample_sr, rms_mix_rate, protect,
+            chunk_parallel=chunk_parallel)
         from tpu_rvc.audio.io import save_audio
         save_audio(output_path, audio, sr)
         return {"info": info, "sr": sr, "output": output_path}
