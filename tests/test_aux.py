@@ -186,3 +186,18 @@ def test_pack_unpack_tree(rng):
                                rtol=1e-6)
     assert out["b"]["d"].dtype == np.int32
     np.testing.assert_array_equal(np.asarray(out["b"]["d"]), tree["b"]["d"])
+
+
+def test_web_infer_convert_accepts_chunk_parallel():
+    """The infer_convert endpoint exposes the chunk_parallel flag
+    (mesh-sharded long-file conversion) without changing defaults."""
+    import inspect
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "webmod", os.path.join(os.path.dirname(__file__), "..", "apps",
+                               "web.py"))
+    webmod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(webmod)
+    sig = inspect.signature(webmod.Api.infer_convert)
+    assert "chunk_parallel" in sig.parameters
+    assert sig.parameters["chunk_parallel"].default is False

@@ -126,3 +126,18 @@ def test_dp_train_step_over_mesh():
     # params stay replicated after the step
     leaf = jax.tree.leaves(state.g_params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_mel_image_rendering():
+    """mel_image: (T, M) -> (3, M, T) float image in [0, 1], low
+    frequencies at the bottom (reference plot_spectrogram_to_numpy role,
+    utils.py:110-126)."""
+    from tpu_rvc.train.loop import mel_image
+
+    mel = np.linspace(-8.0, 2.0, 24 * 80).reshape(24, 80)
+    img = mel_image(mel)
+    assert img.shape == (3, 80, 24)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    # constant input must not divide by zero
+    flat = mel_image(np.zeros((10, 8)))
+    assert np.isfinite(flat).all()
