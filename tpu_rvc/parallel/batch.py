@@ -31,6 +31,10 @@ def make_batch_graph(pipeline, L: int, mesh: Mesh, *, use_f0: bool = True,
     sid (B,), vecs, sq, index_rate, protect, rms_mix_rate, keys (B, 2))
     -> int16 (B, T_out), with the batch dim sharded over mesh axis "data".
     """
+    cache_key = ("batch_par", L, use_f0, has_index, protect_on, f0_mode,
+                 tuple(sorted(mesh.shape.items())))
+    if cache_key in pipeline._graphs:
+        return pipeline._graphs[cache_key]
     core = pipeline._full_graph(L, use_f0, has_index, protect_on,
                                 f0_mode).__wrapped__
     batched = jax.vmap(
@@ -43,18 +47,26 @@ def make_batch_graph(pipeline, L: int, mesh: Mesh, *, use_f0: bool = True,
     def shardings_like(tree, s):
         return jax.tree_util.tree_map(lambda _: s, tree)
 
+    # the jitted wrapper is built ONCE (first call supplies the var-tree
+    # structures for in_shardings) and cached — re-wrapping jax.jit per
+    # call would retrace and recompile every dispatch
+    jitted = [None]
+
     def run(hubert_vars, synth_vars, rmvpe_vars, audio, up_key, sid,
             vecs, sq, index_rate, protect, rms_mix_rate, keys):
-        in_shardings = (
-            shardings_like(hubert_vars, repl),
-            shardings_like(synth_vars, repl),
-            shardings_like(rmvpe_vars, repl),
-            data, repl, data, repl, repl, repl, repl, repl, data)
-        return jax.jit(batched, in_shardings=in_shardings,
-                       out_shardings=data)(
+        if jitted[0] is None:
+            in_shardings = (
+                shardings_like(hubert_vars, repl),
+                shardings_like(synth_vars, repl),
+                shardings_like(rmvpe_vars, repl),
+                data, repl, data, repl, repl, repl, repl, repl, data)
+            jitted[0] = jax.jit(batched, in_shardings=in_shardings,
+                                out_shardings=data)
+        return jitted[0](
             hubert_vars, synth_vars, rmvpe_vars, audio, up_key, sid,
             vecs, sq, index_rate, protect, rms_mix_rate, keys)
 
+    pipeline._graphs[cache_key] = run
     return run
 
 
