@@ -34,16 +34,27 @@ def _halo(kernel_size: int, dilations: Sequence[int]) -> int:
     return sum(half * d + half for d in dilations)
 
 
-def _conv_same(x, w, b, dilation):
-    """Same-padded conv on a (L, C) VMEM value via unfold + one matmul."""
+def _conv_same(x, w, b, dilation, scratch_ref=None):
+    """Same-padded conv on a (L, C) VMEM value via unfold + one matmul.
+
+    With a scratch ref, the K taps are STORED side by side into a VMEM
+    (L, K*C) buffer (static lane offsets) and contracted in ONE matmul —
+    contraction K*C fills the MXU rows even at C=32.  (Mosaic rejects
+    lane-CONCAT of values at different sublane offsets, which blocked the
+    single-matmul form earlier; stores are the workaround under test.)
+    Without scratch: per-tap matmul accumulation (contraction C)."""
     K, C, Cout = w.shape
     L = x.shape[0]
     p = (K - 1) // 2 * dilation
     xp = jnp.pad(x, ((p, p), (0, 0)))
-    # Per-tap matmul accumulation.  (A K-tap lane-concat + single matmul
-    # would give contraction K*C, but Mosaic's tpu.concatenate rejects
-    # inputs at different sublane offsets; the accumulation keeps everything
-    # VMEM-resident, which is the point of the fusion.)
+    if scratch_ref is not None:
+        for j in range(K):
+            scratch_ref[0:L, j * C:(j + 1) * C] = xp[
+                j * dilation: j * dilation + L]
+        unf = scratch_ref[0:L, 0:K * C]
+        return (jnp.dot(unf, w.reshape(K * C, Cout),
+                        preferred_element_type=jnp.float32)
+                + b.astype(jnp.float32))
     y = jnp.broadcast_to(b, (L, Cout)).astype(jnp.float32)
     for j in range(K):
         tap = xp[j * dilation: j * dilation + L]
@@ -58,6 +69,7 @@ def _kernel(x_prev_ref, x_cur_ref, x_next_ref, *refs,
     w_refs = refs[:2 * n_d]
     b_refs = refs[2 * n_d:4 * n_d]
     o_ref = refs[4 * n_d]
+    scratch = refs[4 * n_d + 1] if len(refs) > 4 * n_d + 1 else None
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -80,20 +92,23 @@ def _kernel(x_prev_ref, x_cur_ref, x_next_ref, *refs,
         cur = jnp.where(valid, cur, 0.0)
         t = jax.nn.leaky_relu(cur, LRELU_SLOPE)
         t = _conv_same(t, w_refs[2 * m][:].astype(jnp.float32),
-                       b_refs[2 * m][:].astype(jnp.float32), d)
+                       b_refs[2 * m][:].astype(jnp.float32), d,
+                       scratch_ref=scratch)
         t = jnp.where(valid, t, 0.0)
         t = jax.nn.leaky_relu(t, LRELU_SLOPE)
         t = _conv_same(t, w_refs[2 * m + 1][:].astype(jnp.float32),
-                       b_refs[2 * m + 1][:].astype(jnp.float32), 1)
+                       b_refs[2 * m + 1][:].astype(jnp.float32), 1,
+                       scratch_ref=scratch)
         cur = cur + t
     o_ref[:] = cur[halo:halo + tile].astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_size", "dilations",
-                                              "tile", "interpret"))
+                                              "tile", "interpret",
+                                              "use_scratch"))
 def fused_resblock(x, weights, biases, *, kernel_size: int,
                    dilations: Tuple[int, ...] = (1, 3, 5), tile: int = 2048,
-                   interpret: bool = False):
+                   interpret: bool = False, use_scratch: bool = True):
     """Fused ResBlock1.  x: (T, C); weights: 6 tensors (K, C, C) ordered
     [c1_0, c2_0, c1_1, c2_1, c1_2, c2_2]; biases: 6 x (C,)."""
     T, C = x.shape
@@ -125,6 +140,11 @@ def fused_resblock(x, weights, biases, *, kernel_size: int,
         in_specs.append(pl.BlockSpec((C,), lambda i: (0,),
                                      memory_space=pltpu.VMEM))
 
+    scratch_shapes = []
+    if use_scratch:
+        # in-VMEM im2col buffer: (L, K*C) built by K static stores, then
+        # ONE matmul with contraction K*C (full MXU rows at C=32)
+        scratch_shapes = [pltpu.VMEM((tile + 2 * halo, K * C), jnp.float32)]
     out = pl.pallas_call(
         functools.partial(_kernel, tile=tile, halo=halo,
                           dilations=tuple(dilations), true_len=T),
@@ -133,6 +153,7 @@ def fused_resblock(x, weights, biases, *, kernel_size: int,
         out_specs=pl.BlockSpec((tile, C), imap_cur,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T_pad, C), x.dtype),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(xp, xp, xp, *weights, *biases)
     return out[:T]
