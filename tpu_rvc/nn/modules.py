@@ -287,6 +287,13 @@ class ResBlock1(nn.Module):
     def __call__(self, x, x_mask=None):
         # Fused Pallas path: the whole 6-conv chain in VMEM (inference
         # graphs, B==1, unmasked, C small enough that weights fit VMEM).
+        # Isolated A/B wins at C=64 (k7 scratch 1.84 ms vs XLA 4.04; k11
+        # per-tap 3.24 vs ~5.4; on-chip numerics rel err <= 3e-3 bf16)
+        # did NOT compose: auto-enabling it in the full conversion graph
+        # measured 127 ms/10 s vs 118-120 ms on the pure-XLA policy (the
+        # custom-call boundary costs more than the kernels save), so it
+        # stays opt-in via the PALLAS_RESBLOCKS trace-time toggle.
+        auto_pallas = False
         if (PALLAS_RESBLOCKS and x_mask is None and x.shape[0] == 1
                 and self.channels <= 64 and len(self.dilation) == 3):
             from tpu_rvc.ops.pallas.resblock import fused_resblock
@@ -304,10 +311,23 @@ class ResBlock1(nn.Module):
                 w2, b2 = c2.make_weights(self.channels)
                 ws += [w1, w2]
                 bs += [b1, b2]
-            tile = 1024  # lane padding to 128 makes small C cost the same
+            # tile 2048 is the measured sweet spot; scratch im2col wins at
+            # k=7, per-tap at k=11 (the k=11 scratch variant crashes the
+            # TPU compiler at C=64).  bf16 operands: fp32 tiles blow the
+            # 16 MB scoped-VMEM limit in the full graph (numerics were
+            # validated on chip in bf16, rel err <= 3e-3)
+            tile = 2048 if auto_pallas else 1024
+            xk = x[0]
+            if auto_pallas:
+                xk = xk.astype(jnp.bfloat16)
+                ws = [w.astype(jnp.bfloat16) for w in ws]
+                bs = [b.astype(jnp.bfloat16) for b in bs]
             return fused_resblock(
-                x[0], tuple(ws), tuple(bs), kernel_size=self.kernel_size,
-                dilations=tuple(self.dilation), tile=tile)[None]
+                xk, tuple(ws), tuple(bs),
+                use_scratch=auto_pallas and self.kernel_size == 7,
+                kernel_size=self.kernel_size,
+                dilations=tuple(self.dilation),
+                tile=tile)[None].astype(x.dtype)
         # Time-packed conv path (ops/conv.py conv1d_packed): measured ON
         # TPU as a NET REGRESSION in the full decoder graph (v2/48k
         # 10 s: decoder 43.8 -> 63.9 ms) — the block-sparse packed
