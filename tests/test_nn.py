@@ -216,7 +216,10 @@ def test_pallas_attention_matches_xla(rng):
 
 def test_pallas_resblock_matches_module(rng):
     """Fused resblock kernel (interpret mode) through the ResBlock1 module
-    fast path must equal the unfused path."""
+    fast path must match the unfused path.  The opt-in path runs the
+    measured-best on-chip config — bf16 operands — so the tolerance is
+    bf16-level (on-chip validation measured rel err <= 3e-3); exact fp32
+    kernel numerics are covered by test_pallas_resblock_kernel_fp32."""
     from tpu_rvc.nn import modules as mods
     import tpu_rvc.ops.pallas.resblock as rk
 
@@ -238,7 +241,41 @@ def test_pallas_resblock_matches_module(rng):
         mods.PALLAS_RESBLOCKS = False
         rk.fused_resblock = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=1e-2, atol=2e-2)
+
+
+def test_pallas_resblock_kernel_fp32(rng):
+    """Direct fp32 kernel parity (interpret) vs an unfused jnp reference,
+    both scratch and per-tap variants, k=7 and k=11."""
+    from tpu_rvc.ops.pallas.resblock import fused_resblock, LRELU_SLOPE
+    from tpu_rvc.ops.conv import conv1d
+
+    for K, use_scratch in ((7, True), (7, False), (11, False)):
+        C, T = 64, 700
+        x = jnp.asarray(
+            rng.standard_normal((T, C)).astype(np.float32) * 0.3)
+        ws = tuple(jnp.asarray(
+            rng.standard_normal((K, C, C)).astype(np.float32) * 0.05)
+            for _ in range(6))
+        bs = tuple(jnp.asarray(
+            rng.standard_normal((C,)).astype(np.float32) * 0.05)
+            for _ in range(6))
+
+        ref = x[None]
+        for m, d in enumerate((1, 3, 5)):
+            t = jax.nn.leaky_relu(ref, LRELU_SLOPE)
+            t = conv1d(t, ws[2 * m], bs[2 * m], dilation=d,
+                       padding=(K - 1) // 2 * d)
+            t = jax.nn.leaky_relu(t, LRELU_SLOPE)
+            t = conv1d(t, ws[2 * m + 1], bs[2 * m + 1], dilation=1,
+                       padding=(K - 1) // 2)
+            ref = ref + t
+        got = fused_resblock.__wrapped__(
+            x, ws, bs, kernel_size=K, use_scratch=use_scratch,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref[0]),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"K={K} scratch={use_scratch}")
 
 
 def test_conv1d_packed_parity():

@@ -115,10 +115,15 @@ def test_synthesizer_onnx_parity(tmp_path, rng):
                                 "ds", "rnd"]
     # static shapes advertised in the value infos
     assert mod.graph.input_info["phone"][1] == (1, T, 24)
+    # integer inputs declared int64 like the reference exporter's consumer
+    # (rvc/onnx/infer.py:60-66 feeds int64); entry Cast narrows to int32
+    for n in ("phone_lengths", "pitch", "ds"):
+        assert mod.graph.input_info[n][0] == 7, n  # TensorProto.INT64
 
-    got = np.asarray(mod(np.asarray(phone), np.asarray([T], np.int32),
-                         np.asarray(pitch), np.asarray(pitchf),
-                         np.asarray(sid), np.asarray(rnd)))
+    # feed int64 exactly as the reference consumer does
+    got = np.asarray(mod(np.asarray(phone), np.asarray([T], np.int64),
+                         np.asarray(pitch, np.int64), np.asarray(pitchf),
+                         np.asarray(sid, np.int64), np.asarray(rnd)))
     want = np.asarray(syn.apply(variables, phone, jnp.asarray([T]), sid,
                                 pitch, pitchf, noise=rnd, noise_scale=1.0,
                                 deterministic=True, method=syn.infer))

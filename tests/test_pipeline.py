@@ -250,13 +250,16 @@ def test_pipeline_fused_fcpe_path(small_pipeline):
     assert out.dtype == np.int16 and abs(len(out) - 32000) < 1600
     assert any(isinstance(k, tuple) and k and k[0] == "full" and
                k[-1] == "fcpe" for k in small_pipeline._graphs)
+    assert small_pipeline.last_f0_note is None
 
-    # fallback estimator (no ckpt) -> pm-mode fused graph, still works
+    # fallback estimator (no ckpt) -> pm-mode fused graph, still works,
+    # and the substitution is SURFACED (not a silent downgrade)
     small_pipeline.f0_gen._estimators["fcpe"] = FCPE(
         model_path="/nonexistent.pt")
     out2 = small_pipeline.pipeline(
         0, tone(), times, 0, "fcpe", None, 0.0, 1, 3, 0, 0.25, 0.33)
     assert out2.dtype == np.int16 and abs(len(out2) - 32000) < 1600
+    assert small_pipeline.last_f0_note == "fcpe->pm (no checkpoint)"
 
 
 def test_vc_facade_single_and_multi(tmp_path):

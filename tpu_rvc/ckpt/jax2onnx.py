@@ -501,6 +501,8 @@ def _emit_conv(b: _Builder, eqn: _FlatEqn) -> None:
                                       "lhs_dilation and strides")
         if any(d != 1 for d in rhs_dil):
             raise NotImplementedError("ONNX export: dilated ConvTranspose")
+        if groups != 1:
+            raise NotImplementedError("ONNX export: grouped ConvTranspose")
         # weight OI*k -> flip spatial, swap to IO*k
         if rhs.is_const:
             w = np.transpose(rhs.const, list(dn.rhs_spec))
@@ -644,6 +646,7 @@ def export_fn_to_onnx(
     input_names: Sequence[str],
     output_names: Sequence[str],
     dynamic_axes: Optional[Dict[str, Sequence[int]]] = None,
+    input_dtype_overrides: Optional[Dict[str, np.dtype]] = None,
 ) -> bytes:
     """Trace `fn(params, *inputs)` and serialize it as an ONNX model.
 
@@ -676,6 +679,16 @@ def export_fn_to_onnx(
     eqns = _dce(eqns, out_refs)
 
     b = _Builder()
+    # Inputs whose DECLARED dtype differs from the traced dtype get an
+    # entry Cast (e.g. int64 graph inputs cast to jax's canonical int32 —
+    # reference consumers feed int64, rvc/onnx/infer.py:60-66).
+    decl_types = {}
+    for ref, name in zip(in_refs, input_names):
+        ext = (input_dtype_overrides or {}).get(name)
+        if ext is not None and np.dtype(ext) != np.dtype(ref.aval.dtype):
+            decl_types[name] = _elem_type(np.dtype(ext))
+            ref.name = b.node("Cast", [name],
+                              to=_elem_type(ref.aval.dtype))[0]
     for eqn in eqns:
         if not _fold(eqn):
             _emit(b, eqn)
@@ -695,7 +708,8 @@ def export_fn_to_onnx(
         shape = list(ref.aval.shape)
         for ax in dyn.get(name, ()):
             shape[ax] = f"{name}_dim{ax}"
-        return (name, _elem_type(ref.aval.dtype), tuple(shape))
+        return (name, decl_types.get(name, _elem_type(ref.aval.dtype)),
+                tuple(shape))
 
     return encode_model(
         b.nodes, b.initializers,
@@ -710,8 +724,13 @@ def export_synthesizer_onnx(synth, variables, *, T: int = 200,
     (rvc/onnx/exporter.py:24-28,34-47): inputs phone/phone_lengths/pitch/
     pitchf/ds/rnd -> audio, noise supplied externally via `rnd`.
 
-    rnd is channel-last (1, T, inter_channels) — the tpu_rvc layout
-    convention — where the torch reference uses (1, 192, T)."""
+    Contract parity notes vs the torch exporter:
+    - integer inputs (phone_lengths/pitch/ds) are DECLARED int64 exactly
+      like the reference (its consumer rvc/onnx/infer.py:60-66 feeds
+      int64); an entry Cast narrows them to the graph's int32.
+    - rnd is channel-last (1, T, inter_channels) — the tpu_rvc layout
+      convention — where the torch reference uses (1, 192, T).  This is
+      the one deliberate divergence (documented in PARITY.md)."""
     inter = synth.inter_channels
 
     if synth.use_f0:
@@ -745,7 +764,10 @@ def export_synthesizer_onnx(synth, variables, *, T: int = 200,
     # no dynamic_axes: the graph IS static (XLA compilation model) — Reshape
     # shapes hard-code T, so advertising dynamic dims would mislead consumers.
     # Export one model per length bucket instead (the pipeline's approach).
-    data = export_fn_to_onnx(fwd, variables, inputs, input_names, ["audio"])
+    int64_in = {n: np.int64 for n in input_names
+                if n in ("phone_lengths", "pitch", "ds")}
+    data = export_fn_to_onnx(fwd, variables, inputs, input_names, ["audio"],
+                             input_dtype_overrides=int64_in)
     if path is not None:
         with open(path, "wb") as f:
             f.write(data)

@@ -293,7 +293,6 @@ class ResBlock1(nn.Module):
         # measured 127 ms/10 s vs 118-120 ms on the pure-XLA policy (the
         # custom-call boundary costs more than the kernels save), so it
         # stays opt-in via the PALLAS_RESBLOCKS trace-time toggle.
-        auto_pallas = False
         if (PALLAS_RESBLOCKS and x_mask is None and x.shape[0] == 1
                 and self.channels <= 64 and len(self.dilation) == 3):
             from tpu_rvc.ops.pallas.resblock import fused_resblock
@@ -311,29 +310,24 @@ class ResBlock1(nn.Module):
                 w2, b2 = c2.make_weights(self.channels)
                 ws += [w1, w2]
                 bs += [b1, b2]
-            # tile 2048 is the measured sweet spot; scratch im2col wins at
-            # k=7, per-tap at k=11 (the k=11 scratch variant crashes the
-            # TPU compiler at C=64).  bf16 operands: fp32 tiles blow the
-            # 16 MB scoped-VMEM limit in the full graph (numerics were
-            # validated on chip in bf16, rel err <= 3e-3)
-            tile = 2048 if auto_pallas else 1024
-            xk = x[0]
-            if auto_pallas:
-                xk = xk.astype(jnp.bfloat16)
-                ws = [w.astype(jnp.bfloat16) for w in ws]
-                bs = [b.astype(jnp.bfloat16) for b in bs]
+            # Measured-best config (round-1 A/B on chip): tile 2048, bf16
+            # operands (fp32 tiles blow the 16 MB scoped-VMEM limit in the
+            # full graph; bf16 numerics validated on chip, rel <= 3e-3),
+            # scratch im2col at k=7, per-tap otherwise (k=11/C=64 scratch
+            # crashes the TPU compiler — fused_resblock guards it).
+            xk = x[0].astype(jnp.bfloat16)
+            ws = [w.astype(jnp.bfloat16) for w in ws]
+            bs = [b.astype(jnp.bfloat16) for b in bs]
             return fused_resblock(
                 xk, tuple(ws), tuple(bs),
-                use_scratch=auto_pallas and self.kernel_size == 7,
                 kernel_size=self.kernel_size,
                 dilations=tuple(self.dilation),
-                tile=tile)[None].astype(x.dtype)
+                tile=2048)[None].astype(x.dtype)
         # Time-packed conv path (ops/conv.py conv1d_packed): measured ON
         # TPU as a NET REGRESSION in the full decoder graph (v2/48k
         # 10 s: decoder 43.8 -> 63.9 ms) — the block-sparse packed
         # weights waste 2-5x FLOPs, which outweighs the lane-width gain.
-        # Kept available (parity-tested) but disabled.
-        packed = False
+        # Kept parity-tested in ops/conv.py as a documented negative result.
         for i, d in enumerate(self.dilation):
             c1 = Conv1d(self.channels, self.kernel_size,
                         padding=_get_padding(self.kernel_size, d), dilation=d,
@@ -346,25 +340,11 @@ class ResBlock1(nn.Module):
             xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
             if x_mask is not None:
                 xt = xt * x_mask
-            if packed:
-                w1, b1 = c1.make_weights(self.channels)
-                xt = conv_ops.conv1d_packed(
-                    xt, w1.astype(xt.dtype),
-                    None if b1 is None else b1.astype(xt.dtype),
-                    pack=128 // self.channels, dilation=d)
-            else:
-                xt = c1(xt)
+            xt = c1(xt)
             xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
             if x_mask is not None:
                 xt = xt * x_mask
-            if packed:
-                w2, b2 = c2.make_weights(self.channels)
-                xt = conv_ops.conv1d_packed(
-                    xt, w2.astype(xt.dtype),
-                    None if b2 is None else b2.astype(xt.dtype),
-                    pack=128 // self.channels, dilation=1)
-            else:
-                xt = c2(xt)
+            xt = c2(xt)
             x = xt + x
         if x_mask is not None:
             x = x * x_mask

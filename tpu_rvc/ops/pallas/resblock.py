@@ -108,10 +108,20 @@ def _kernel(x_prev_ref, x_cur_ref, x_next_ref, *refs,
                                               "use_scratch"))
 def fused_resblock(x, weights, biases, *, kernel_size: int,
                    dilations: Tuple[int, ...] = (1, 3, 5), tile: int = 2048,
-                   interpret: bool = False, use_scratch: bool = True):
+                   interpret: bool = False, use_scratch=None):
     """Fused ResBlock1.  x: (T, C); weights: 6 tensors (K, C, C) ordered
-    [c1_0, c2_0, c1_1, c2_1, c1_2, c2_2]; biases: 6 x (C,)."""
+    [c1_0, c2_0, c1_1, c2_1, c1_2, c2_2]; biases: 6 x (C,).
+
+    use_scratch=None picks the measured policy: the in-VMEM im2col scratch
+    wins at k=7 but the k=11/C=64 combination crashes the TPU compiler
+    (remote-service HTTP 500), so k!=7 uses per-tap matmuls."""
     T, C = x.shape
+    if use_scratch is None:
+        use_scratch = kernel_size == 7
+    if use_scratch and kernel_size == 11 and C >= 64 and not interpret:
+        raise ValueError(
+            "fused_resblock: use_scratch with kernel_size=11 and C>=64 is a "
+            "known TPU compiler crash; use use_scratch=False (per-tap)")
     halo = _halo(kernel_size, dilations)
     assert halo <= tile, (halo, tile)
     n = -(-T // tile)

@@ -82,12 +82,15 @@ def convert_long(pipeline, sid: int, audio: np.ndarray, mesh: Mesh, *,
     """Convert one long 16 kHz utterance with its chunks sharded over the
     mesh.  Same arguments and output contract as Pipeline.pipeline; short
     audio (single chunk) falls through to the sequential path."""
-    audio = highpass_filter(np.asarray(audio, np.float32))
+    audio_raw = np.asarray(audio, np.float32)
+    audio = highpass_filter(audio_raw)
     opt_ts = silence_chunk_bounds(audio, pipeline.t_center,
                                   pipeline.t_query, pipeline.t_max)
     if not opt_ts:
+        # hand the UNfiltered audio to the sequential path — it applies the
+        # 48 Hz highpass itself (double filtering would diverge from it)
         return pipeline.pipeline(
-            sid, audio, [0.0, 0.0, 0.0], f0_up_key, f0_method, index,
+            sid, audio_raw, [0.0, 0.0, 0.0], f0_up_key, f0_method, index,
             index_rate, if_f0, filter_radius, resample_sr, rms_mix_rate,
             protect, noise_seed=noise_seed)
 

@@ -100,6 +100,9 @@ class Pipeline:
         self.f0_gen = F0Generator(rmvpe_root, is_half, x_pad,
                                   window=WINDOW, sr=SR)
         self._graphs: Dict[Tuple, Any] = {}
+        # set when the last pipeline() call silently substituted an f0
+        # method (e.g. "fcpe->pm (no checkpoint)"); surfaced by VC.vc_single
+        self.last_f0_note: Optional[str] = None
 
     # ------------------------------------------------------------------
     def _chunk_graph(self, bucket_len: int, use_f0: bool, has_index: bool,
@@ -278,6 +281,7 @@ class Pipeline:
                  f0_file: Optional[np.ndarray] = None,
                  noise_seed: int = 0, fetch: bool = True) -> np.ndarray:
         """Full conversion (reference pipeline, pipeline.py:186)."""
+        self.last_f0_note = None
         audio = highpass_filter(np.asarray(audio, np.float32))
 
         # silence-point chunking for long audio (pipeline.py:224-236)
@@ -305,6 +309,7 @@ class Pipeline:
             if f0_mode == "fcpe" and \
                     self.f0_gen._get("fcpe").model is None:
                 f0_mode = "pm"  # no fcpe ckpt: estimator falls back to PM
+                self.last_f0_note = "fcpe->pm (no checkpoint)"
             graph = self._full_graph(L, use_f0, has_index, protect_on,
                                      f0_mode)
             rmvpe_vars = (self.f0_gen._get(f0_mode).variables
@@ -485,6 +490,8 @@ class VC:
                resample_sr >= SR else self.tgt_sr)
         info = (f"npy: {times[0]:.2f}s, f0: {times[1]:.2f}s, "
                 f"infer: {times[2]:.2f}s")
+        if getattr(self.pipeline, "last_f0_note", None):
+            info += f" [f0 {self.pipeline.last_f0_note}]"
         return info, (tgt, out)
 
     def vc_multi(self, sid: int, paths: List[str], out_dir: str, **kwargs):
