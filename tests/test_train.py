@@ -128,6 +128,229 @@ def test_dp_train_step_over_mesh():
     assert leaf.sharding.is_fully_replicated
 
 
+def test_dp_multistep_training_learns_over_mesh():
+    """>=10 sharded steps on a fixed batch over a virtual CPU mesh: the
+    mel reconstruction loss must actually decrease (the reference trains
+    multi-GPU via DDP, train.py:102-217; one step proves the collectives
+    compile — test_dp_train_step_over_mesh does that on all 8 devices —
+    this proves the *training* works).  2-device mesh: the same sharded
+    program/collectives, ~4x faster on the single-core CI box (the
+    8-device variant measured 24 min)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpu_rvc.core.mesh import make_mesh
+
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    state, net_g, net_d = create_train_state(TINY_HP, jax.random.PRNGKey(0))
+    step = make_train_step(net_g, net_d, TINY_HP, donate=False)
+    batch_np = make_batch(TINY_HP, B=4)
+    data_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    batch = {k: jax.device_put(jnp.asarray(v), data_sh)
+             for k, v in batch_np.items()}
+    state = jax.device_put(state, repl)
+    mels = []
+    for i in range(10):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+        mels.append(float(metrics["loss_mel"]))
+        assert np.isfinite(float(metrics["loss_gen_all"])), f"step {i}"
+    assert int(state.step) == 10
+    # overfitting one fixed batch: the mel L1 must drop clearly
+    assert np.mean(mels[-3:]) < np.mean(mels[:3]) - 0.5, mels
+
+
+def test_checkpoint_resume_under_mesh(tmp_path):
+    """save -> fresh state -> load -> continue, all under the mesh
+    (reference resume: utils.py:27-73,129).  The loaded state must be
+    bit-identical and continuation must match an uninterrupted run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpu_rvc.core.mesh import make_mesh
+    from tpu_rvc.train.loop import (save_native_checkpoint,
+                                    load_native_checkpoint,
+                                    latest_checkpoint)
+
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    data_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    state, net_g, net_d = create_train_state(TINY_HP, jax.random.PRNGKey(0))
+    step = make_train_step(net_g, net_d, TINY_HP, donate=False)
+    batch = {k: jax.device_put(jnp.asarray(v), data_sh)
+             for k, v in make_batch(TINY_HP, B=4).items()}
+    state = jax.device_put(state, repl)
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    save_native_checkpoint(str(tmp_path / "state_3.npz"), state)
+    save_native_checkpoint(str(tmp_path / "state_1.npz"), state)
+    assert latest_checkpoint(str(tmp_path)).endswith("state_3.npz")
+
+    # uninterrupted continuation (the oracle)
+    cont, m_cont = step(state, batch, jax.random.PRNGKey(77))
+
+    # resume into a FRESH state template, re-shard, continue
+    fresh, _, _ = create_train_state(TINY_HP, jax.random.PRNGKey(9))
+    loaded = load_native_checkpoint(str(tmp_path / "state_3.npz"), fresh)
+    assert int(loaded.step) == 3
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    loaded = jax.device_put(loaded, repl)
+    resumed, m_res = step(loaded, batch, jax.random.PRNGKey(77))
+    np.testing.assert_allclose(float(m_res["loss_gen_all"]),
+                               float(m_cont["loss_gen_all"]), rtol=1e-5)
+
+
+def test_native_checkpoint_corruption_detected(tmp_path):
+    """A truncated/config-mismatched checkpoint must raise, not silently
+    zero-fill (reference shape-checked load, utils.py:33-48)."""
+    from tpu_rvc.train.loop import (save_native_checkpoint,
+                                    load_native_checkpoint)
+
+    state, _, _ = create_train_state(TINY_HP, jax.random.PRNGKey(0))
+    p = str(tmp_path / "state_1.npz")
+    save_native_checkpoint(p, state)
+
+    # config mismatch: template with different shapes
+    hp2 = dataclasses.replace(
+        TINY_HP, model=dataclasses.replace(TINY_HP.model, gin_channels=32))
+    other, _, _ = create_train_state(hp2, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="shape|leaves"):
+        load_native_checkpoint(p, other)
+
+    # byte-level truncation: must raise, not return a partial state
+    raw = open(p, "rb").read()
+    trunc = str(tmp_path / "bad.npz")
+    open(trunc, "wb").write(raw[: len(raw) // 2])
+    with pytest.raises(Exception):
+        load_native_checkpoint(trunc, state)
+
+
+def test_warm_start_partial_load_and_legacy_keys(tmp_path):
+    """Warm-start from an exported reference-layout G_*.pth: (1) round-trip
+    restores the weights, (2) torch>=2.1 parametrizations.* legacy keys are
+    migrated, (3) a shape-mismatched tensor (different spk_embed_dim) is
+    skipped, keeping the fresh init (reference utils.py:33-73 semantics)."""
+    import torch
+    from tpu_rvc.ckpt.torch_pth import load_pth
+    from tpu_rvc.ckpt.convert import synthesizer_params_from_state_dict
+    from tpu_rvc.train.loop import export_reference_g_pth, _merge_partial
+
+    state, net_g, _ = create_train_state(TINY_HP, jax.random.PRNGKey(0))
+    p = str(tmp_path / "G_5.pth")
+    export_reference_g_pth(p, jax.device_get(state.g_params), 5, 1e-4,
+                           use_f0=True,
+                           num_kernels=len(TINY_HP.model.resblock_kernel_sizes))
+    # stock torch must read it (ecosystem interchange)
+    sd = torch.load(p, weights_only=False)
+    assert sd["iteration"] == 5 and "model" in sd
+
+    raw = {k: np.asarray(v, np.float32) for k, v in load_pth(p)["model"].items()}
+
+    # (2) legacy-key variant: rename one weight-norm pair to the torch>=2.1
+    # parametrizations layout; migration must land it on the same params
+    legacy = dict(raw)
+    for k in list(legacy):
+        if k.endswith("weight_g"):
+            base = k[: -len("weight_g")]
+            legacy[base + "parametrizations.weight.original0"] = legacy.pop(k)
+            legacy[base + "parametrizations.weight.original1"] = legacy.pop(
+                base + "weight_v")
+            break
+    kw = dict(n_layers=TINY_HP.model.n_layers,
+              n_ups=len(TINY_HP.model.upsample_rates),
+              num_kernels=len(TINY_HP.model.resblock_kernel_sizes),
+              use_f0=True, has_enc_q=True, fold_weight_norm=False,
+              strict=False)
+    g_ref = synthesizer_params_from_state_dict(raw, **kw)
+    g_leg = synthesizer_params_from_state_dict(legacy, **kw)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_leg)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # (1)+(3): merge into a fresh model with a DIFFERENT speaker-embedding
+    # size — everything but emb_g must match the checkpoint, emb_g keeps
+    # the fresh init (shape-checked partial load)
+    hp2 = dataclasses.replace(
+        TINY_HP, model=dataclasses.replace(TINY_HP.model, spk_embed_dim=9))
+    fresh, _, _ = create_train_state(hp2, jax.random.PRNGKey(3))
+    notes = []
+    merged = _merge_partial(fresh.g_params, g_ref, notes.append)
+    assert any("partial load" in n for n in notes)
+    flat_m = dict(jax.tree_util.tree_flatten_with_path(merged)[0])
+    flat_f = dict(jax.tree_util.tree_flatten_with_path(fresh.g_params)[0])
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(g_ref)[0])
+    n_kept = n_loaded = 0
+    for path, m in flat_m.items():
+        r = flat_r.get(path)
+        if r is not None and np.shape(r) == np.shape(m):
+            np.testing.assert_array_equal(np.asarray(m), np.asarray(r))
+            n_loaded += 1
+        else:
+            np.testing.assert_array_equal(np.asarray(m),
+                                          np.asarray(flat_f[path]))
+            n_kept += 1
+    assert n_loaded > 10 and n_kept >= 1  # emb_g (9, 16) kept fresh
+
+
+def test_bucket_batcher_rank_partition():
+    """BucketBatcher's per-rank assignment must partition the dataset like
+    the reference DistributedBucketSampler (data_utils.py:401): disjoint
+    across ranks, jointly covering every item, deterministic per
+    (seed, epoch) and reshuffled across epochs."""
+    from tpu_rvc.train.data import BucketBatcher
+
+    class FakeDS:
+        class _It:
+            def __init__(self, n):
+                self.n_frames = n
+
+        def __init__(self, n_items):
+            self.hp = TINY_HP
+            self.if_f0 = True
+            rng = np.random.default_rng(0)
+            self.items = [self._It(int(rng.integers(50, 900)))
+                          for _ in range(n_items)]
+            self.loaded = []
+
+        def __len__(self):
+            return len(self.items)
+
+        def load(self, i):
+            self.loaded.append(i)
+            n = min(self.items[i].n_frames, 900)
+            d = self.hp.data
+            return {
+                "phone": np.zeros((n, 4), np.float32),
+                "spec": np.zeros((n, d.spec_channels), np.float32),
+                "wave": np.zeros((n * d.hop_length,), np.float32),
+                "sid": np.int32(0), "n_frames": n,
+                "pitch": np.zeros((n,), np.int32),
+                "pitchf": np.zeros((n,), np.float32),
+            }
+
+    world, N = 4, 35
+    per_rank = []
+    for rank in range(world):
+        ds = FakeDS(N)
+        b = BucketBatcher(ds, batch_size=2, rank=rank, world=world, seed=7)
+        for _ in b.epoch(0):
+            pass
+        per_rank.append(set(ds.loaded))
+    # disjoint across ranks, union covers everything
+    for i in range(world):
+        for j in range(i + 1, world):
+            assert not (per_rank[i] & per_rank[j]), (i, j)
+    assert set().union(*per_rank) == set(range(N))
+
+    # determinism per (seed, epoch); reshuffle across epochs
+    ds = FakeDS(N)
+    b = BucketBatcher(ds, batch_size=2, rank=0, world=world, seed=7)
+    for _ in b.epoch(0):
+        pass
+    assert set(ds.loaded) == per_rank[0]
+    ds2 = FakeDS(N)
+    b2 = BucketBatcher(ds2, batch_size=2, rank=0, world=world, seed=7)
+    for _ in b2.epoch(1):
+        pass
+    assert set(ds2.loaded) != per_rank[0]
+
+
 def test_mel_image_rendering():
     """mel_image: (T, M) -> (3, M, T) float image in [0, 1], low
     frequencies at the bottom (reference plot_spectrogram_to_numpy role,

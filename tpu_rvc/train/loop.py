@@ -39,9 +39,27 @@ def save_native_checkpoint(path: str, state: TrainState) -> None:
 
 
 def load_native_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Load a flat-npz checkpoint, validated leaf-by-leaf against the
+    template state (count + shapes).  A truncated/corrupted file or a
+    config-mismatched checkpoint raises instead of silently producing a
+    wrong state (the reference's load is shape-checked too,
+    infer/lib/train/utils.py:33-48)."""
     z = np.load(path, allow_pickle=False)
-    flat = [z[f"leaf_{i}"] for i in range(int(z["n"]))]
-    treedef = jax.tree_util.tree_structure(template)
+    tmpl_flat, treedef = jax.tree_util.tree_flatten(template)
+    n = int(z["n"])
+    if n != len(tmpl_flat):
+        raise ValueError(
+            f"{path}: checkpoint has {n} leaves, state needs "
+            f"{len(tmpl_flat)} — wrong model/optimizer config?")
+    flat = []
+    for i, tmpl in enumerate(tmpl_flat):
+        leaf = z[f"leaf_{i}"]
+        t_shape = np.shape(tmpl)
+        if tuple(leaf.shape) != tuple(t_shape):
+            raise ValueError(
+                f"{path}: leaf_{i} shape {tuple(leaf.shape)} != expected "
+                f"{tuple(t_shape)}")
+        flat.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, flat)
 
 
