@@ -262,3 +262,117 @@ def test_rmvpe_f0_device_full_chain_matches_host():
     assert c_d.shape == (p_len,)
     np.testing.assert_allclose(f_d, f_h, rtol=1e-3, atol=0.5)
     assert (np.abs(c_d.astype(int) - c_h.astype(int)) <= 1).all()
+
+
+# ---------------------------------------------------------------------------
+# Quantitative dio/harvest accuracy on speech-like audio (VERDICT r1 #7).
+# The reference leans on pyworld's C++ (rvc/f0/dio.py:9, harvest.py:10);
+# these tests hold the native ports to a numeric standard on a formant-rich
+# synthetic voice with an analytically known f0 track.
+# ---------------------------------------------------------------------------
+
+def _speech_like(sr=16000, dur=2.0, f0_lo=110.0, f0_hi=180.0,
+                 vib_hz=5.0, vib_depth=0.02, noise_db=-30.0, seed=0):
+    """Formant-rich voiced 'speech': band-limited sawtooth source with a
+    gliding + vibrato f0 track, shaped by three formant resonators
+    (700/1200/2600 Hz), plus noise; leading/trailing silence for UV
+    checks.  Returns (audio, gt_f0_per_sample)."""
+    n = int(sr * dur)
+    t = np.arange(n) / sr
+    # instantaneous f0: linear glide + vibrato
+    f0 = (f0_lo + (f0_hi - f0_lo) * t / dur) * \
+        (1.0 + vib_depth * np.sin(2 * np.pi * vib_hz * t))
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    # band-limited sawtooth: harmonics to 6 kHz with 1/k rolloff
+    x = np.zeros(n)
+    k = 1
+    while k * f0.max() < 6000:
+        x += np.sin(k * phase) / k
+        k += 1
+    # formant shaping: three biquad resonators in parallel
+    y = np.zeros(n)
+    for fc, bw, g in ((700, 130, 1.0), (1200, 180, 0.7), (2600, 300, 0.4)):
+        r = np.exp(-np.pi * bw / sr)
+        th = 2 * np.pi * fc / sr
+        b0 = (1 - r) * np.sqrt(1 - 2 * r * np.cos(2 * th) + r * r)
+        a1, a2 = -2 * r * np.cos(th), r * r
+        z1 = z2 = 0.0
+        out = np.empty(n)
+        for i in range(n):  # tiny IIR, host-side fixture generation only
+            w = x[i] - a1 * z1 - a2 * z2
+            out[i] = b0 * w
+            z2, z1 = z1, w
+        y += g * out
+    y /= np.abs(y).max()
+    rng = np.random.default_rng(seed)
+    y += 10 ** (noise_db / 20) * rng.standard_normal(n)
+    # 150 ms silence head/tail (UV ground truth)
+    sil = int(0.15 * sr)
+    y[:sil] = 10 ** (noise_db / 20) * rng.standard_normal(sil)
+    y[-sil:] = 10 ** (noise_db / 20) * rng.standard_normal(sil)
+    gt = f0.copy()
+    gt[:sil] = 0.0
+    gt[-sil:] = 0.0
+    return y.astype(np.float32), gt
+
+
+def _cents_errors(f0_est, times_s, gt_per_sample, sr):
+    """Per-frame cents error on frames voiced in BOTH est and truth."""
+    idx = np.clip((times_s * sr).astype(int), 0, len(gt_per_sample) - 1)
+    gt = gt_per_sample[idx]
+    both = (f0_est > 0) & (gt > 0)
+    cents = 1200 * np.abs(np.log2(f0_est[both] / gt[both]))
+    return cents, gt, both
+
+
+@pytest.mark.parametrize("method", ["dio", "harvest"])
+def test_world_f0_accuracy_on_speech(method):
+    """dio/harvest on formant-rich speech-like audio: median voiced-frame
+    error < 10 cents vs the analytic f0 track, high voiced recall, and
+    UV agreement on the silent head/tail (reference accuracy standard:
+    pyworld C++, rvc/f0/{dio,harvest}.py:9)."""
+    from tpu_rvc.f0.world import dio as world_dio, harvest, stonemask
+
+    sr = 16000
+    audio, gt = _speech_like(sr=sr)
+    if method == "dio":
+        f0, times = world_dio(audio, sr)
+        f0 = stonemask(audio, sr, f0, times)
+    else:
+        f0, times = harvest(audio, sr)
+        f0 = stonemask(audio, sr, f0, times)
+    cents, gt_frames, both = _cents_errors(f0, times, gt, sr)
+
+    voiced_truth = gt_frames > 0
+    recall = both.sum() / voiced_truth.sum()
+    assert recall > 0.85, f"{method}: voiced recall {recall:.2f}"
+    assert np.median(cents) < 10.0, \
+        f"{method}: median {np.median(cents):.1f} cents"
+    # octave errors must be rare (gross error = off by > 1/2 semitone)
+    assert (cents > 50).mean() < 0.1, \
+        f"{method}: {100 * (cents > 50).mean():.0f}% gross errors"
+    # UV agreement: silence must not be called voiced
+    sil_frames = gt_frames == 0
+    fa = (f0[sil_frames] > 0).mean() if sil_frames.any() else 0.0
+    assert fa < 0.25, f"{method}: {100 * fa:.0f}% false voicing in silence"
+
+
+def test_pm_f0_accuracy_on_speech():
+    """Same quantitative standard for the PM (Praat autocorrelation) port
+    on the voiced core of the fixture (reference rvc/f0/pm.py:9 wraps
+    parselmouth)."""
+    from tpu_rvc.f0.pm import PM
+
+    sr = 16000
+    audio, gt = _speech_like(sr=sr)
+    est = PM(160, 50.0, 1100.0, sr)
+    p_len = len(audio) // 160
+    f0 = est.compute_f0(audio, p_len)  # interpolated track
+    times = np.arange(p_len) * 160 / sr
+    # compare the voiced core only (interpolation fills the silent ends)
+    core = slice(int(0.3 * sr / 160), int(1.7 * sr / 160))
+    idx = np.clip((times[core] * sr).astype(int), 0, len(gt) - 1)
+    gtc = gt[idx]
+    ok = gtc > 0
+    cents = 1200 * np.abs(np.log2(f0[core][ok] / gtc[ok]))
+    assert np.median(cents) < 10.0, f"pm median {np.median(cents):.1f} cents"

@@ -241,3 +241,103 @@ def test_load_separator_dispatch(monkeypatch):
 
     with pytest.raises(FileNotFoundError):
         u.load_separator("/x/onnx_dereverb_By_FoxJoy")  # needs vocals.onnx
+
+
+def _author_conv_tdf_clone(dim_f=3072, dim_t_frames=512, c=8):
+    """Hand-author a Conv-TDF UNet ONNX graph with the op inventory of the
+    published vocals.onnx (kuielab Conv-TDF exported from torch: Conv /
+    BatchNormalization / Relu / MatMul+Add TDF linears / ConvTranspose
+    upsample / Concat skips / Transpose+Reshape plumbing) at the EXACT
+    ConvTDFNetTrim I/O dims (reference mdxnet.py:15-60, 225-240:
+    dim_f=3072, dim_t=9 -> 512 frames, dim_c=4), with thin channels so it
+    runs on CPU.  Returns serialized ModelProto bytes."""
+    from tpu_rvc.ckpt.jax2onnx import _Builder
+    from tpu_rvc.ckpt.onnx_reader import encode_model
+
+    rng = np.random.RandomState(0)
+    b = _Builder()
+
+    def conv(x, cin, cout, stride=1):
+        w = b.const((0.1 * rng.randn(cout, cin, 3, 3)).astype(np.float32))
+        bias = b.const(np.zeros(cout, np.float32))
+        return b.node("Conv", [x, w, bias], strides=[stride, stride],
+                      pads=[1, 1, 1, 1])[0]
+
+    def bn_relu(x, ch):
+        scale = b.const(np.ones(ch, np.float32))
+        bias = b.const(np.zeros(ch, np.float32))
+        mean = b.const(np.zeros(ch, np.float32))
+        var = b.const(np.ones(ch, np.float32))
+        y = b.node("BatchNormalization", [x, scale, bias, mean, var],
+                   epsilon=1e-5)[0]
+        return b.node("Relu", [y])[0]
+
+    def tdf(x, ch, f):
+        """Time-Distributed-Fullyconnected over the freq axis: the MDX
+        hallmark block (Linear f->f/16->f as MatMul+Add pairs)."""
+        t = b.node("Transpose", [x], perm=[0, 1, 3, 2])[0]  # (B,C,T,F)
+        w1 = b.const((0.05 * rng.randn(f, f // 16)).astype(np.float32))
+        b1 = b.const(np.zeros(f // 16, np.float32))
+        h = b.node("MatMul", [t, w1])[0]
+        h = b.node("Add", [h, b1])[0]
+        h = b.node("Relu", [h])[0]
+        w2 = b.const((0.05 * rng.randn(f // 16, f)).astype(np.float32))
+        b2 = b.const(np.zeros(f, np.float32))
+        h = b.node("MatMul", [h, w2])[0]
+        h = b.node("Add", [h, b2])[0]
+        h = b.node("Add", [h, t])[0]  # residual
+        return b.node("Transpose", [h], perm=[0, 1, 3, 2])[0]
+
+    x0 = "input"
+    # encoder level 1
+    e1 = bn_relu(conv(x0, 4, c), c)
+    e1 = tdf(e1, c, dim_f)
+    # downsample
+    d1 = bn_relu(conv(e1, c, 2 * c, stride=2), 2 * c)
+    d1 = tdf(d1, 2 * c, dim_f // 2)
+    # bottleneck
+    mid = bn_relu(conv(d1, 2 * c, 2 * c), 2 * c)
+    # upsample (ConvTranspose) + skip concat
+    wu = b.const((0.1 * rng.randn(2 * c, c, 2, 2)).astype(np.float32))
+    up = b.node("ConvTranspose", [mid, wu], strides=[2, 2])[0]
+    up = bn_relu(up, c)
+    cat = b.node("Concat", [up, e1], axis=1)[0]
+    out = conv(cat, 2 * c, 4)
+    b.node("Identity", [out], outputs=["output"])
+
+    shape = (1, 4, dim_f, dim_t_frames)
+    return encode_model(b.nodes, b.initializers,
+                        [("input", 1, shape)], [("output", 1, shape)])
+
+
+def test_mdxnet_published_dims_and_op_inventory(tmp_path):
+    """C44 on its real payload shape: a dimension-exact Conv-TDF clone
+    (dim_f=3072, dim_t=2^9, n_fft=6144 — the published vocals.onnx
+    contract, reference mdxnet.py:225-240) with the published op
+    inventory, executed through onnx_reader -> OnnxModule -> full demix
+    with the reference's chunk margins."""
+    from tpu_rvc.models.onnx_exec import OnnxModule
+    from tpu_rvc.pipeline.mdxnet import ConvTDFSpec, MDXPredictor
+
+    spec = ConvTDFSpec(dim_f=3072, dim_t=9, n_fft=6144, hop=1024)
+    assert spec.chunk_size == 1024 * (2 ** 9 - 1)  # reference chunk math
+
+    data = _author_conv_tdf_clone(dim_f=3072,
+                                  dim_t_frames=2 ** 9, c=4)
+    p = str(tmp_path / "vocals.onnx")
+    open(p, "wb").write(data)
+    mod = OnnxModule.from_file(p)
+    ops = {n.op_type for n in mod.graph.nodes}
+    must = {"Conv", "ConvTranspose", "BatchNormalization", "Relu",
+            "MatMul", "Add", "Concat", "Transpose"}
+    assert must <= ops, f"missing {must - ops}"
+
+    pred = MDXPredictor(mod, spec, chunks=1, margin=44100, denoise=True)
+    sr = 44100
+    t = np.arange(sr) / sr
+    mix = np.stack([np.sin(2 * np.pi * 440 * t),
+                    np.sin(2 * np.pi * 330 * t)]).astype(np.float32) * 0.5
+    out = pred.demix(mix)[0]
+    assert out.shape == mix.shape
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() > 1e-5  # the net actually produced signal
