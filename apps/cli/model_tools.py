@@ -55,6 +55,19 @@ def cmd_export_onnx(args):
     print("exported ->", args.output)
 
 
+def cmd_strip(args):
+    """Strip a training checkpoint to fp16 weights-only (the role of the
+    reference's legacy tools/cmd/trans_weights.py: torch.load(G)['model']
+    -> .half() -> save)."""
+    import numpy as np
+    from tpu_rvc.ckpt.torch_pth import load_pth, save_pth
+    cpt = load_pth(args.ckpt)
+    sd = cpt.get("model", cpt.get("weight", cpt))
+    half = {k: np.asarray(v).astype(np.float16) for k, v in sd.items()}
+    save_pth(half, args.output)
+    print(f"stripped {len(half)} tensors ->", args.output)
+
+
 def cmd_similarity(args):
     from tpu_rvc.ckpt.torch_pth import load_pth
     from tpu_rvc.ckpt.hash import hash_similarity
@@ -102,6 +115,14 @@ def main():
     sc.add_argument("--name", default="")
     sc.add_argument("--out-dir", default=".")
     sc.set_defaults(fn=cmd_change_info)
+
+    st = sub.add_parser(
+        "strip",
+        help="training ckpt -> fp16 weights-only .pth (legacy "
+             "tools/cmd/trans_weights.py role)")
+    st.add_argument("ckpt")
+    st.add_argument("output")
+    st.set_defaults(fn=cmd_strip)
 
     ss = sub.add_parser("similarity")
     ss.add_argument("a")

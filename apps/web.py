@@ -34,12 +34,71 @@ class Api:
     def __init__(self, weight_root: str = "assets/weights",
                  index_root: str = "logs",
                  hubert_path: str = "assets/hubert/hubert_base.pt",
-                 rmvpe_root: str = "assets/rmvpe"):
+                 rmvpe_root: str = "assets/rmvpe",
+                 uvr5_root: str = "assets/uvr5_weights"):
         self.weight_root = weight_root
         self.index_root = index_root
         self.hubert_path = hubert_path
         self.rmvpe_root = rmvpe_root
+        self.uvr5_root = uvr5_root
         self._vc = None
+
+    # ------------- model/index discovery (reference web.py:90-112) -------
+    def lookup_names(self):
+        """Voice models in weight_root (reference lookup_names)."""
+        if not os.path.isdir(self.weight_root):
+            return []
+        return sorted(n for n in os.listdir(self.weight_root)
+                      if n.endswith(".pth"))
+
+    def lookup_indices(self):
+        """Feature indexes under index_root (reference lookup_indices
+        web.py:98-104; ours are .tpuidx.npz, 'trained_' variants skipped)."""
+        out = []
+        for root, _, files in os.walk(self.index_root):
+            for name in files:
+                if (name.endswith((".tpuidx.npz", ".index"))
+                        and "trained" not in name):
+                    out.append(os.path.join(root, name))
+        return sorted(out)
+
+    def lookup_uvr5_names(self):
+        """UVR5 separation models (reference web.py:109-112)."""
+        if not os.path.isdir(self.uvr5_root):
+            return []
+        return sorted(n.replace(".pth", "")
+                      for n in os.listdir(self.uvr5_root)
+                      if n.endswith(".pth") or "onnx" in n)
+
+    def change_choices(self):
+        """Refresh dropdown choices (reference change_choices web.py:115)."""
+        return {"names": [""] + self.lookup_names(),
+                "indices": [""] + self.lookup_indices()}
+
+    def clean(self):
+        """Unload the current model (reference clean web.py:124)."""
+        self._vc = None
+        return {"value": "", "__type__": "update"}
+
+    def change_voice(self, model_name: str):
+        """Load a voice and report its metadata for the UI (reference
+        VC.get_vc gradio-update plumbing, infer/modules/vc/modules.py:32-115:
+        speaker count, f0 flag, model info text)."""
+        if not model_name:
+            self.clean()
+            return {"n_spk": 0, "if_f0": 1, "info": ""}
+        vc, meta = self._get_vc(model_name)
+        return {"n_spk": vc.n_spk, "if_f0": vc.if_f0, "sr": vc.tgt_sr,
+                "info": str(meta.get("info", "")),
+                "version": vc.version}
+
+    def hash_similarity(self, id_a: str, id_b: str):
+        """Model-ID similarity (reference web.py:1330 butmodelcmp)."""
+        from tpu_rvc.ckpt.hash import hash_similarity
+        try:
+            return {"similarity": float(hash_similarity(id_a, id_b))}
+        except Exception as e:
+            return {"similarity": None, "error": str(e)}
 
     # ---------------- inference tab ----------------
     def _get_vc(self, model_name: str):
@@ -145,7 +204,8 @@ class Api:
     def train_start(self, exp_dir: str, version: str = "v2", sr: int = 48000,
                     if_f0: int = 1, epochs: int = 20, batch_size: int = 4,
                     save_every: int = 5, pretrain_g: str = "",
-                    pretrain_d: str = "", name: str = "model"):
+                    pretrain_d: str = "", name: str = "model",
+                    author: str = "", log_fn=None):
         from tpu_rvc.core.config import hparams_for
         from tpu_rvc.train.loop import run_training
         import dataclasses
@@ -155,7 +215,7 @@ class Api:
         metrics = run_training(exp_dir, hp, total_epochs=epochs,
                                if_f0=bool(if_f0), save_every_epoch=save_every,
                                pretrain_g=pretrain_g, pretrain_d=pretrain_d,
-                               name=name)
+                               name=name, author=author, log_fn=log_fn)
         return {"status": "done", "metrics": metrics}
 
     def train_start_all(self, exp_dir: str, trainset_dir: str,
@@ -164,16 +224,21 @@ class Api:
                         n_p: int = 8, per: float = 3.7, epochs: int = 20,
                         batch_size: int = 4, save_every: int = 5,
                         pretrain_g: str = "", pretrain_d: str = "",
-                        name: str = "model"):
+                        name: str = "model", log_fn=None):
         """One-click training (reference train1key, web.py:600-688):
         preprocess -> f0/feature extraction -> GAN training -> index."""
-        steps = [self.train_preprocess(trainset_dir, exp_dir, sr, n_p, per),
-                 self.train_extract_f0_feature(exp_dir, version, if_f0,
-                                               f0_method),
-                 self.train_start(exp_dir, version, sr, if_f0, epochs,
-                                  batch_size, save_every, pretrain_g,
-                                  pretrain_d, name),
-                 self.train_index(exp_dir, version, name)]
+        log = log_fn or (lambda s: None)
+        log("step 1/4: preprocess")
+        steps = [self.train_preprocess(trainset_dir, exp_dir, sr, n_p, per)]
+        log("step 2/4: f0/feature extraction")
+        steps.append(self.train_extract_f0_feature(exp_dir, version, if_f0,
+                                                   f0_method))
+        log("step 3/4: training")
+        steps.append(self.train_start(exp_dir, version, sr, if_f0, epochs,
+                                      batch_size, save_every, pretrain_g,
+                                      pretrain_d, name, log_fn=log_fn))
+        log("step 4/4: index build")
+        steps.append(self.train_index(exp_dir, version, name))
         return {"status": "done", "steps": steps}
 
     # ---------------- ckpt tab ----------------
@@ -209,11 +274,58 @@ class Api:
         export_onnx(ckpt_path, onnx_path, T=frames)
         return {"output": onnx_path}
 
+    # ---------------- log-tail streaming ----------------
+    def stream_endpoint(self, endpoint: str, poll: float = 0.5,
+                        **kwargs):
+        """Run endpoint `name` in a worker thread, yielding the growing log
+        text until it finishes — the role of the reference's
+        subprocess-log-tail generators (web.py:141-162,185-199: Popen +
+        poll loop re-reading the log file).  Endpoints that accept log_fn
+        stream live progress lines; others stream a heartbeat then the
+        final result."""
+        import inspect
+        import threading
+        import time
+
+        fn = getattr(self, endpoint)
+        if endpoint not in ENDPOINTS or not callable(fn):
+            raise ValueError(f"unknown endpoint {endpoint}")
+        lines: list = []
+        done = [False]
+        res: dict = {}
+        takes_log = "log_fn" in inspect.signature(fn).parameters
+
+        def runner():
+            try:
+                if takes_log:
+                    res["result"] = fn(log_fn=lines.append, **kwargs)
+                else:
+                    res["result"] = fn(**kwargs)
+            except Exception:
+                res["error"] = traceback.format_exc()
+            finally:
+                done[0] = True
+
+        t = threading.Thread(target=runner, daemon=True)
+        t0 = time.time()
+        t.start()
+        while not done[0]:
+            yield "\n".join(lines) if lines else \
+                f"running {endpoint}... ({time.time() - t0:.0f}s)"
+            time.sleep(poll)
+        t.join()
+        if "error" in res:
+            yield "\n".join(lines + [res["error"]])
+        else:
+            yield "\n".join(lines + [json.dumps(res["result"], default=str)])
+
 
 ENDPOINTS = ("infer_convert", "infer_convert_batch", "uvr_convert",
              "train_preprocess", "train_extract_f0_feature", "train_index",
              "train_start", "train_start_all", "ckpt_merge", "ckpt_modify",
-             "ckpt_show", "ckpt_extract", "export_onnx")
+             "ckpt_show", "ckpt_extract", "export_onnx",
+             "change_choices", "clean", "change_voice", "hash_similarity",
+             "lookup_names", "lookup_indices", "lookup_uvr5_names")
 
 
 def serve_http(api: Api, host: str = "127.0.0.1", port: int = 7865):
@@ -258,126 +370,19 @@ def serve_http(api: Api, host: str = "127.0.0.1", port: int = 7865):
     srv.serve_forever()
 
 
-def serve_gradio(api: Api, host: str, port: int):  # pragma: no cover
+def serve_gradio(api: Api, host: str, port: int,
+                 infer_only: bool = False):  # pragma: no cover
+    """Launch the full gradio WebUI (layout in apps/webui.py, mirroring
+    reference web.py:690-1550; --infer-only serves the reduced app,
+    reference tools/web/infer-only.py role)."""
     import gradio as gr
 
-    with gr.Blocks(title="tpu_rvc WebUI") as app:
-        gr.Markdown("## tpu_rvc — TPU-native Retrieval-based Voice Conversion")
-        with gr.Tab(i18n("Model Inference")):
-            model = gr.Textbox(label=i18n("Model"), value="")
-            inp = gr.Textbox(label=i18n("Input audio path"))
-            sid = gr.Number(label=i18n("Speaker ID"), value=0, precision=0)
-            key = gr.Number(label=i18n("Transpose"), value=0, precision=0)
-            method = gr.Radio(["pm", "harvest", "crepe", "rmvpe"],
-                              value="rmvpe", label=i18n("F0 method"))
-            index_path = gr.Textbox(label=i18n("Index path"))
-            index_rate = gr.Slider(0, 1, value=0.66,
-                                   label=i18n("Index rate"))
-            out_path = gr.Textbox(label=i18n("Output path"), value="out.wav")
-            result = gr.JSON()
-            btn = gr.Button(i18n("Convert"), variant="primary")
-            btn.click(
-                lambda m, i, s, k, f, ip, ir, o: api.infer_convert(
-                    int(s), i, int(k), f, ip, ir, model_name=m,
-                    output_path=o),
-                [model, inp, sid, key, method, index_path, index_rate,
-                 out_path],
-                [result], api_name="infer_convert")
-            in_dir = gr.Textbox(label=i18n("Input directory"))
-            out_dir = gr.Textbox(label=i18n("Output directory"), value="opt")
-            bres = gr.JSON()
-            bbtn = gr.Button(i18n("Batch convert"))
-            bbtn.click(
-                lambda m, d, o, s, k, f, ip, ir: api.infer_convert_batch(
-                    int(s), d, o, model_name=m, f0_up_key=int(k),
-                    f0_method=f, file_index=ip, index_rate=ir),
-                [model, in_dir, out_dir, sid, key, method, index_path,
-                 index_rate], [bres], api_name="infer_convert_batch")
-        with gr.Tab(i18n("Vocals/Accompaniment Separation & Reverberation Removal")):
-            uvr_model = gr.Textbox(label=i18n("Model"))
-            uvr_in = gr.Textbox(label=i18n("Input audio path"))
-            uvr_ins = gr.Textbox(label=i18n("Instrument output"), value="opt_ins")
-            uvr_voc = gr.Textbox(label=i18n("Vocal output"), value="opt_voc")
-            uvr_agg = gr.Slider(0, 20, value=10, label="agg")
-            uvr_res = gr.JSON()
-            uvr_btn = gr.Button(i18n("Convert"), variant="primary")
-            uvr_btn.click(
-                lambda m, i, a, v, g: api.uvr_convert(m, i, a, v, g),
-                [uvr_model, uvr_in, uvr_ins, uvr_voc, uvr_agg],
-                [uvr_res], api_name="uvr_convert")
-        with gr.Tab(i18n("Train")):
-            exp_dir = gr.Textbox(label=i18n("Experiment dir"), value="logs/exp")
-            trainset = gr.Textbox(label=i18n("Trainset dir"))
-            t_sr = gr.Radio(["32000", "40000", "48000"], value="48000",
-                            label=i18n("Sample rate"))
-            t_ver = gr.Radio(["v1", "v2"], value="v2", label=i18n("Version"))
-            t_f0 = gr.Checkbox(value=True, label=i18n("Pitch guidance"))
-            t_method = gr.Radio(["pm", "harvest", "rmvpe"], value="rmvpe",
-                                label=i18n("F0 method"))
-            t_epochs = gr.Number(value=20, precision=0, label=i18n("Epochs"))
-            t_bs = gr.Number(value=4, precision=0, label=i18n("Batch size"))
-            t_res = gr.JSON()
-            b1 = gr.Button(i18n("Process data"))
-            b1.click(lambda d, e, s: api.train_preprocess(d, e, int(s)),
-                     [trainset, exp_dir, t_sr], [t_res],
-                     api_name="train_preprocess")
-            b2 = gr.Button(i18n("Feature extraction"))
-            b2.click(lambda e, v, f, m: api.train_extract_f0_feature(
-                         e, v, int(f), m),
-                     [exp_dir, t_ver, t_f0, t_method], [t_res],
-                     api_name="train_extract_f0_feature")
-            b3 = gr.Button(i18n("Train model"), variant="primary")
-            b3.click(lambda e, v, s, f, ep, bs: api.train_start(
-                         e, v, int(s), int(f), int(ep), int(bs)),
-                     [exp_dir, t_ver, t_sr, t_f0, t_epochs, t_bs], [t_res],
-                     api_name="train_start")
-            b4 = gr.Button(i18n("Train feature index"))
-            b4.click(lambda e, v: api.train_index(e, v),
-                     [exp_dir, t_ver], [t_res], api_name="train_index")
-            b5 = gr.Button(i18n("One-click training"))
-            b5.click(lambda e, d, v, s, f, m, ep, bs: api.train_start_all(
-                         e, d, v, int(s), int(f), m, epochs=int(ep),
-                         batch_size=int(bs)),
-                     [exp_dir, trainset, t_ver, t_sr, t_f0, t_method,
-                      t_epochs, t_bs], [t_res], api_name="train_start_all")
-        with gr.Tab(i18n("ckpt Processing")):
-            ck_a = gr.Textbox(label=i18n("Model A"))
-            ck_b = gr.Textbox(label=i18n("Model B"))
-            ck_alpha = gr.Slider(0, 1, value=0.5, label=i18n("Weight of A"))
-            ck_sr = gr.Radio(["32k", "40k", "48k"], value="48k",
-                             label=i18n("Sample rate"))
-            ck_f0 = gr.Checkbox(value=True, label=i18n("Pitch guidance"))
-            ck_info = gr.Textbox(label=i18n("Model info"))
-            ck_name = gr.Textbox(label=i18n("Model name"))
-            ck_ver = gr.Radio(["v1", "v2"], value="v2", label=i18n("Version"))
-            ck_res = gr.JSON()
-            mb = gr.Button(i18n("Merge"))
-            mb.click(lambda a, bb, al, s, f, i, n, v: api.ckpt_merge(
-                         a, bb, al, s, int(f), i, n, v),
-                     [ck_a, ck_b, ck_alpha, ck_sr, ck_f0, ck_info, ck_name,
-                      ck_ver], [ck_res], api_name="ckpt_merge")
-            cb = gr.Button(i18n("Modify"))
-            cb.click(lambda a, i, n: api.ckpt_modify(a, i, n),
-                     [ck_a, ck_info, ck_name], [ck_res],
-                     api_name="ckpt_modify")
-            sb = gr.Button(i18n("View"))
-            sb.click(lambda a: api.ckpt_show(a), [ck_a], [ck_res],
-                     api_name="ckpt_show")
-            eb = gr.Button(i18n("Extract"))
-            eb.click(lambda a, n, s, f, i, v: api.ckpt_extract(
-                         a, n, s, int(f), i, v),
-                     [ck_a, ck_name, ck_sr, ck_f0, ck_info, ck_ver],
-                     [ck_res], api_name="ckpt_extract")
-        with gr.Tab(i18n("Export Onnx")):
-            ox_in = gr.Textbox(label=i18n("RVC Model Path"))
-            ox_out = gr.Textbox(label=i18n("Onnx Export Path"))
-            ox_frames = gr.Number(value=200, precision=0, label=i18n("Frames"))
-            ox_res = gr.JSON()
-            ob = gr.Button(i18n("Export Onnx Model"), variant="primary")
-            ob.click(lambda i, o, f: api.export_onnx(i, o, int(f)),
-                     [ox_in, ox_out, ox_frames], [ox_res],
-                     api_name="export_onnx")
-    app.launch(server_name=host, server_port=port)
+    from webui import build_app, build_infer_only_app
+
+    app = (build_infer_only_app(gr, api) if infer_only
+           else build_app(gr, api))
+    app.queue(max_size=1022).launch(server_name=host, server_port=port,
+                                    max_threads=511)
 
 
 def main():
@@ -386,6 +391,9 @@ def main():
     p.add_argument("--port", type=int, default=7865)
     p.add_argument("--http-only", action="store_true",
                    help="skip gradio even if installed")
+    p.add_argument("--infer-only", action="store_true",
+                   help="serve only the inference surface "
+                        "(reference tools/web/infer-only.py)")
     p.add_argument("--weight-root", default="assets/weights")
     p.add_argument("--index-root", default="logs")
     p.add_argument("--hubert", default="assets/hubert/hubert_base.pt")
@@ -396,7 +404,8 @@ def main():
     if not args.http_only:
         try:
             import gradio  # noqa: F401
-            serve_gradio(api, args.host, args.port)
+            serve_gradio(api, args.host, args.port,
+                         infer_only=args.infer_only)
             return
         except ImportError:
             pass

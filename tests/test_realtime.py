@@ -229,3 +229,179 @@ def test_stream_session_fused_rmvpe(engine):
     out = np.concatenate(outs)
     assert np.isfinite(out).all()
     assert out.shape[0] == len(outs) * sess.block_frame
+
+
+# ---------------------------------------------------------------------------
+# Live duplex loop (C6/C34 live path, reference audio.py:206-376 +
+# gui.py:1099-1126) — exercised hardware-free with a fake stream thread.
+# ---------------------------------------------------------------------------
+
+def test_live_loop_duplex_fake_stream(engine):
+    """Device-callback <-> model-loop coupling through the ring buffers:
+    a fake stream thread drives LiveLoop.callback exactly like PortAudio
+    would; the model loop converts queued blocks.  A deliberately late
+    model turn must surface as output-ring underruns (silence emitted,
+    stream keeps running), and the loop must recover."""
+    from tpu_rvc.pipeline.live import LiveLoop
+
+    sess = StreamSession(engine, samplerate=16000, block_time=0.16,
+                         crossfade_time=0.04, extra_time=0.5, f0method="pm",
+                         rms_mix_rate=1.0)
+    loop = LiveLoop(sess, ring_blocks=8)
+    bf = loop.block_frame
+    audio = tone(dur=2.0, sr=16000)
+    n_blocks = len(audio) // bf
+    outs = []
+
+    # block 0: callback before any model work -> output ring is empty,
+    # the device still gets a full (silent) block = underrun recovery
+    outdata = np.empty(bf, np.float32)
+    loop.callback(audio[:bf], outdata)
+    assert np.all(outdata == 0.0)
+    assert loop.out_ring.stats()["underruns"] >= 1
+    outs.append(outdata.copy())
+
+    done = loop.process_available()
+    assert done == 1 and loop.blocks_processed == 1
+
+    # blocks 1..2 arrive while the model is "stuck" (no process calls):
+    # both queue in the input ring; output underruns again
+    for i in (1, 2):
+        outdata = np.empty(bf, np.float32)
+        loop.callback(audio[i * bf:(i + 1) * bf], outdata)
+        outs.append(outdata.copy())
+    # model catches up: both queued blocks convert in one turn
+    assert loop.process_available() == 2
+    # steady state: model keeps up, every output block is real audio
+    for i in range(3, n_blocks):
+        outdata = np.empty(bf, np.float32)
+        loop.callback(audio[i * bf:(i + 1) * bf], outdata)
+        outs.append(outdata.copy())
+        loop.process_available()
+        assert np.isfinite(outdata).all()
+    out = np.concatenate(outs)
+    assert np.abs(out[3 * bf:]).max() > 0  # caught-up stream carries audio
+    s = loop.stats()
+    assert s["blocks_processed"] == n_blocks
+    assert s["out"]["underruns"] >= 2  # the two deliberate stalls
+
+
+def test_live_loop_midstream_controls(engine):
+    """set_key / set_index_rate / set_formant driven MID-STREAM (the
+    reference GUI slider events, gui.py:518-592) take effect without
+    breaking the stream; set_formant drops the fused graph (its
+    return_length2 is baked in) and the host path continues."""
+    from tpu_rvc.pipeline.live import LiveLoop
+
+    sess = StreamSession(engine, samplerate=16000, block_time=0.16,
+                         crossfade_time=0.04, extra_time=0.5, f0method="pm",
+                         rms_mix_rate=1.0)
+    had_fused = sess._fused is not None
+    loop = LiveLoop(sess)
+    bf = loop.block_frame
+    audio = tone(dur=2.0, sr=16000)
+    outdata = np.empty(bf, np.float32)
+    for i in range(3):
+        loop.callback(audio[i * bf:(i + 1) * bf], outdata)
+        loop.process_available()
+    loop.set_key(5.0)
+    loop.set_index_rate(0.0)
+    assert engine.f0_up_key == 5.0
+    loop.callback(audio[3 * bf:4 * bf], outdata)
+    loop.process_available()
+    assert np.isfinite(outdata).all()
+    loop.set_formant(1.0)
+    assert engine.formant_shift == 1.0
+    if had_fused:
+        assert sess._fused is None  # formant forces the host block path
+    loop.callback(audio[4 * bf:5 * bf], outdata)
+    loop.process_available()
+    assert np.isfinite(outdata).all()
+    engine.set_key(0.0)
+    engine.set_formant(0.0)
+
+
+def test_live_loop_threaded_model_loop(engine):
+    """LiveLoop.run in a real worker thread while the 'audio thread'
+    (main) paces callbacks — the actual live-mode topology of
+    apps/gui.py run_live."""
+    import threading
+    import time as _time
+    from tpu_rvc.pipeline.live import LiveLoop
+
+    sess = StreamSession(engine, samplerate=16000, block_time=0.16,
+                         crossfade_time=0.04, extra_time=0.5, f0method="pm",
+                         rms_mix_rate=1.0)
+    # ring sized to hold the whole clip: the first block compiles the
+    # graph (~tens of s on CPU), so the input ring must absorb the burst
+    # without overrun-dropping (live overrun behavior is covered by
+    # test_live_loop_duplex_fake_stream)
+    loop = LiveLoop(sess, ring_blocks=16)
+    bf = loop.block_frame
+    audio = tone(dur=1.6, sr=16000)
+    stop = threading.Event()
+    worker = threading.Thread(target=loop.run, args=(stop,), daemon=True)
+    worker.start()
+    n_blocks = len(audio) // bf
+    outdata = np.empty(bf, np.float32)
+    for i in range(n_blocks):
+        loop.callback(audio[i * bf:(i + 1) * bf], outdata)
+        _time.sleep(0.01)
+    deadline = _time.time() + 30
+    while loop.blocks_processed < n_blocks and _time.time() < deadline:
+        _time.sleep(0.01)
+    stop.set()
+    worker.join(timeout=5)
+    assert loop.blocks_processed == n_blocks
+
+
+def test_live_loop_threshold_gate(engine):
+    """Input dB gate (reference gui.py:950-961): blocks below the
+    threshold bypass conversion and emit silence."""
+    from tpu_rvc.pipeline.live import LiveLoop
+
+    sess = StreamSession(engine, samplerate=16000, block_time=0.16,
+                         crossfade_time=0.04, extra_time=0.5, f0method="pm",
+                         rms_mix_rate=1.0)
+    loop = LiveLoop(sess, threshold_db=-20.0)
+    bf = loop.block_frame
+    quiet = np.full(bf, 1e-4, np.float32)
+    outdata = np.empty(bf, np.float32)
+    loop.callback(quiet, outdata)
+    assert loop.process_available() == 1
+    assert np.all(loop.out_ring.read(bf) == 0.0)
+    # a loud block goes through the model
+    loop.callback(tone(dur=1.0, sr=16000)[:bf], outdata)
+    loop.process_available()
+    assert loop.blocks_processed == 2
+
+
+def test_live_config_persistence(tmp_path):
+    """LiveConfig round-trips its settings and survives corrupt files
+    (reference gui.py:176-247 config.json load with defaults)."""
+    from tpu_rvc.pipeline.live import LiveConfig
+
+    p = str(tmp_path / "inuse" / "gui.json")
+    cfg = LiveConfig(pth_path="m.pth", pitch=7.0, formant=0.5,
+                     index_rate=0.4, block_time=0.5, f0method="fcpe")
+    cfg.save(p)
+    back = LiveConfig.load(p)
+    assert back == cfg
+    # unknown keys ignored, missing keys default
+    import json as _json
+    _json.dump({"pitch": 3.0, "bogus": 1}, open(p, "w"))
+    part = LiveConfig.load(p)
+    assert part.pitch == 3.0 and part.block_time == 0.25
+    # corrupt file -> pure defaults
+    open(p, "w").write("{not json")
+    assert LiveConfig.load(p) == LiveConfig()
+
+
+def test_list_audio_devices_gated():
+    """Without sounddevice the enumeration degrades to empty lists
+    instead of raising (reference needs PortAudio; we must not)."""
+    from tpu_rvc.pipeline.live import list_audio_devices
+
+    devs = list_audio_devices()
+    assert set(devs) == {"hostapis", "input", "output"}
+    assert all(isinstance(v, list) for v in devs.values())

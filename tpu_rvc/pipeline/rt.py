@@ -374,6 +374,27 @@ class StreamSession:
                 # surface the same error lazily, matching reference behavior
                 self._fused = None
 
+    # ---- mid-stream control (reference gui.py:518-592 slider events
+    # calling rtrvc set_* while the stream runs) ----
+    def set_key(self, key: float) -> None:
+        self.engine.set_key(key)  # fused graph reads it per dispatch
+
+    def set_formant(self, formant: float) -> None:
+        self.engine.set_formant(formant)
+        if formant != 0 and self._fused is not None:
+            # formant shift changes return_length2: the fused graph bakes
+            # it in, so fall back to the host block path (which rebuilds
+            # its graph per formant factor, reference rtrvc.py:249-259)
+            self._fused = None
+
+    def set_index_rate(self, rate: float) -> None:
+        self.engine.set_index_rate(rate)
+
+    def set_rms_mix_rate(self, rate: float) -> None:
+        self.rms_mix_rate = float(rate)
+        if rate < 1 and self._fused is not None:
+            self._fused = None  # RMS mix is a host-path feature
+
     def feed(self, block: np.ndarray) -> np.ndarray:
         """Process one block (len == block_frame at stream sr)."""
         assert len(block) == self.block_frame, \
