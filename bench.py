@@ -106,12 +106,94 @@ def main():
           f"utterance (min {min(times[1:])*1000:.0f}, "
           f"max {max(times[1:])*1000:.0f})", file=sys.stderr)
 
+    # ---- per-stage breakdown artifact (BENCH_BREAKDOWN.json) ----
+    # Separate-dispatch stage timings so round-over-round regressions are
+    # attributable (tunnel RTT swings the headline RTF 66-89x between
+    # sessions; the min wall and the stage split are the stable signals).
+    try:
+        breakdown = _stage_breakdown(pipe, audio, dur_s, prev)
+        breakdown.update({
+            "platform": platform,
+            "pipelined_ms_median": round(elapsed * 1000, 1),
+            "pipelined_ms_min": round(min(times[1:]) * 1000, 1),
+            "pipelined_ms_all": [round(x * 1000, 1) for x in times],
+            "rtf": round(rtf, 2),
+        })
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_BREAKDOWN.json")
+        with open(path, "w") as f:
+            json.dump(breakdown, f, indent=2)
+        print(f"[bench] stage split (ms): "
+              + ", ".join(f"{k}={v}" for k, v in
+                          breakdown["stages_ms"].items()), file=sys.stderr)
+    except Exception as e:  # never let the artifact break the headline
+        print(f"[bench] breakdown failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "48kHz_conversion_RTF_full_quality_single_chip",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 50.0, 3),
     }))
+
+
+def _stage_breakdown(pipe, audio, dur_s, out_dev, n=5):
+    """Median fetch-inclusive wall per stage, separate dispatches
+    (fetch is the only reliable sync on this backend, CLAUDE.md)."""
+    import statistics
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tpu_rvc.f0.device import rmvpe_f0_device
+
+    def timeit(fn):
+        fn()  # compile / warm
+        walls = []
+        for i in range(n):
+            t0 = time.time()
+            np.asarray(fn())
+            walls.append(time.time() - t0)
+        return round(statistics.median(walls) * 1000, 1)
+
+    dtype = pipe.dtype
+    L16 = len(audio)
+    p_len = L16 // 160
+    wav = jnp.asarray(audio[None], dtype)
+    hub_fn = jax.jit(lambda v, w: pipe.hubert.apply(v, w))
+    t_hub = timeit(lambda: hub_fn(pipe.hubert_vars, wav))
+
+    est = pipe.f0_gen._estimators["rmvpe"]
+    f0_fn = jax.jit(lambda v, w: rmvpe_f0_device(
+        w, p_len, 0.0, est.model, v, dtype=dtype)[1])
+    t_f0 = timeit(lambda: f0_fn(est.variables,
+                                jnp.asarray(audio, jnp.float32)))
+
+    rng = np.random.default_rng(1)
+    phone = jnp.asarray(rng.standard_normal((1, p_len, 768)), dtype)
+    pitch = jnp.asarray(rng.integers(1, 255, (1, p_len)), jnp.int32)
+    pitchf = jnp.asarray(100 + 50 * rng.random((1, p_len)), dtype)
+    syn_fn = jax.jit(lambda v, ph, pi, pf, k: pipe.synth.apply(
+        v, ph, jnp.asarray([p_len]), jnp.asarray([0]), pi, pf,
+        rngs={"noise": k}, method=pipe.synth.infer))
+    t_syn = timeit(lambda: syn_fn(pipe.synth_vars, phone, pitch, pitchf,
+                                  jax.random.PRNGKey(9)))
+
+    # D2H of the int16 output: each iteration fetches a FRESH device
+    # buffer (np.asarray of an already-fetched array returns the cached
+    # host copy in 0 ms)
+    d2h = []
+    for i in range(n):
+        y = jnp.asarray(out_dev) + np.int16(i)  # fresh buffer, cheap op
+        t0 = time.time()
+        np.asarray(y)
+        d2h.append(time.time() - t0)
+    t_d2h = round(statistics.median(d2h) * 1000, 1)
+
+    return {"utterance_s": dur_s,
+            "stages_ms": {"hubert": t_hub, "rmvpe_f0": t_f0,
+                          "synth": t_syn, "d2h_int16": t_d2h},
+            "note": "separate dispatches, fetch-inclusive medians of "
+                    f"{n}; the fused pipeline overlaps these"}
 
 
 if __name__ == "__main__":

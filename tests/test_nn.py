@@ -300,3 +300,70 @@ def test_conv1d_packed_parity():
                 got = conv1d_packed(x, w, b, pack=p, dilation=d)
                 np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                            rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_fused_stage_kernel_fp32(rng):
+    """Whole-stage kernel (3 resblocks k=3/7/11 + average, one pallas_call)
+    vs the unfused module math, fp32 interpret mode."""
+    from tpu_rvc.ops.pallas.resblock import fused_stage
+
+    C, T = 64, 700
+    Ks = (3, 7, 11)
+    x = jnp.asarray(rng.standard_normal((T, C)).astype(np.float32) * 0.3)
+    ws, bs = [], []
+    rbs = []
+    for K in Ks:
+        rb = ResBlock1(C, K, (1, 3, 5), weight_norm=False)
+        params = rb.init(jax.random.PRNGKey(K), x[None])
+        rbs.append((rb, params))
+        for i in range(3):
+            for cname in (f"c1_{i}", f"c2_{i}"):
+                p = params["params"][cname]
+                ws.append(p["kernel"])
+                bs.append(p["bias"])
+    want = sum(rb.apply(p, x[None]) for rb, p in rbs)[0] / 3
+    got = fused_stage.__wrapped__(x, tuple(ws), tuple(bs),
+                                  kernel_sizes=Ks, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_stage_through_generator(rng):
+    """PALLAS_STAGE_CHANNELS toggle routes the generator's resblock stage
+    through fused_stage (interpret mode here) with identical params and
+    bf16-level numerics vs the unfused graph."""
+    from tpu_rvc.nn import modules as mods
+    from tpu_rvc.nn.generators import NSFGenerator
+    import tpu_rvc.ops.pallas.resblock as rk
+
+    gen = NSFGenerator(
+        initial_channel=32, resblock="1",
+        resblock_kernel_sizes=(3, 7, 11),
+        resblock_dilation_sizes=((1, 3, 5),) * 3,
+        upsample_rates=(10, 16), upsample_initial_channel=64,
+        upsample_kernel_sizes=(20, 32), gin_channels=16, sr=16000,
+        weight_norm=False)
+    T = 12
+    x = jnp.asarray(rng.standard_normal((1, T, 32)).astype(np.float32) * 0.3)
+    f0 = jnp.full((1, T), 220.0, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, 1, 16)).astype(np.float32))
+    params = gen.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        x, f0, g)
+    ref = gen.apply(params, x, f0, g, deterministic=True)
+
+    orig = rk.fused_stage
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig.__wrapped__(*a, **k)
+
+    rk.fused_stage = interp
+    mods.PALLAS_STAGE_CHANNELS = frozenset({16, 32})
+    try:
+        got = gen.apply(params, x, f0, g, deterministic=True)
+    finally:
+        mods.PALLAS_STAGE_CHANNELS = frozenset()
+        rk.fused_stage = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-2, atol=2e-2)

@@ -14,6 +14,7 @@ streaming path (ops/pallas/attention.py) and validated against this module.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -37,17 +38,27 @@ class pallas_attention:
     utilization + lane padding) measured slower than XLA's im2col lowering
     (39.6x vs 47x RTF); revisit with a lane-packed layout."""
 
-    def __init__(self, enabled: bool = True, resblocks: bool = False):
+    def __init__(self, enabled: bool = True, resblocks: bool = False,
+                 stage_channels=None):
         self.enabled = enabled and jax.default_backend() == "tpu"
         self.resblocks = resblocks and self.enabled
+        if stage_channels is None:
+            # experiment hook: PALLAS_STAGE_CHANNELS=32,64 enables the
+            # whole-stage kernel for those widths in every inference graph
+            env = os.environ.get("PALLAS_STAGE_CHANNELS", "")
+            stage_channels = [int(c) for c in env.split(",") if c.strip()]
+        self.stage_channels = (frozenset(stage_channels) if self.enabled
+                               else frozenset())
 
     def __enter__(self):
         global PALLAS_ATTENTION
         from tpu_rvc.nn import modules as _modules
         self.prev = PALLAS_ATTENTION
         self.prev_rb = _modules.PALLAS_RESBLOCKS
+        self.prev_st = _modules.PALLAS_STAGE_CHANNELS
         PALLAS_ATTENTION = self.enabled
         _modules.PALLAS_RESBLOCKS = self.resblocks
+        _modules.PALLAS_STAGE_CHANNELS = self.stage_channels
         return self
 
     def __exit__(self, *exc):
@@ -55,6 +66,7 @@ class pallas_attention:
         from tpu_rvc.nn import modules as _modules
         PALLAS_ATTENTION = self.prev
         _modules.PALLAS_RESBLOCKS = self.prev_rb
+        _modules.PALLAS_STAGE_CHANNELS = self.prev_st
         return False
 
 

@@ -38,6 +38,46 @@ def _interp_channels_last(x: jax.Array, out_len: int) -> jax.Array:
     return linear_interp_1d(jnp.swapaxes(x, 1, 2), out_len).swapaxes(1, 2)
 
 
+def _resblock_stage(x, ch, i, kernel_sizes, dilation_sizes, weight_norm, rb):
+    """One upsample level's resblock stage: mean_j ResBlock_j(x).
+
+    When the trace-time PALLAS_STAGE_CHANNELS toggle includes `ch` (and
+    the config matches the stock 3-resblock/3-dilation shape), the whole
+    stage runs as ONE pallas kernel (fused_stage) — all 18 convs + the
+    average in a single VMEM residency, amortizing the custom-call
+    boundary that defeated per-resblock swaps in round 1."""
+    from tpu_rvc.nn import modules as _modules
+
+    num_kernels = len(kernel_sizes)
+    use_stage = (rb is ResBlock1 and x.shape[0] == 1
+                 and ch in _modules.PALLAS_STAGE_CHANNELS
+                 and len(kernel_sizes) == 3
+                 and all(tuple(d) == tuple(dilation_sizes[0])
+                         for d in dilation_sizes)
+                 and len(dilation_sizes[0]) == 3)
+    if use_stage:
+        from tpu_rvc.ops.pallas.resblock import fused_stage
+        ws, bs = [], []
+        for j, (rk, rd) in enumerate(zip(kernel_sizes, dilation_sizes)):
+            w6, b6 = rb(ch, rk, tuple(rd), weight_norm=weight_norm,
+                        name=f"resblock_{i}_{j}")(x, collect_weights=True)
+            ws += w6
+            bs += b6
+        xk = x[0].astype(jnp.bfloat16)
+        ws = [w.astype(jnp.bfloat16) for w in ws]
+        bs = [b.astype(jnp.bfloat16) for b in bs]
+        return fused_stage(xk, tuple(ws), tuple(bs),
+                           kernel_sizes=tuple(kernel_sizes),
+                           dilations=tuple(dilation_sizes[0]),
+                           tile=2048)[None].astype(x.dtype)
+    xs = None
+    for j, (rk, rd) in enumerate(zip(kernel_sizes, dilation_sizes)):
+        y = rb(ch, rk, tuple(rd), weight_norm=weight_norm,
+               name=f"resblock_{i}_{j}")(x)
+        xs = y if xs is None else xs + y
+    return xs / num_kernels
+
+
 class Generator(nn.Module):
     """HiFiGAN generator, no f0 (reference generators.py:14)."""
 
@@ -56,7 +96,6 @@ class Generator(nn.Module):
         # x: (B, T, C); g: (B, 1, gin)
         if n_res is not None and int(n_res) != x.shape[1]:
             x = _interp_channels_last(x, int(n_res))
-        num_kernels = len(self.resblock_kernel_sizes)
         rb = ResBlock1 if self.resblock == "1" else ResBlock2
         x = Conv1d(self.upsample_initial_channel, 7, padding=3,
                    name="conv_pre")(x)
@@ -70,13 +109,9 @@ class Generator(nn.Module):
                                 weight_norm=self.weight_norm,
                                 kernel_init=normal_001_init,
                                 name=f"up_{i}")(x)
-            xs = None
-            for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
-                                             self.resblock_dilation_sizes)):
-                y = rb(ch, rk, tuple(rd), weight_norm=self.weight_norm,
-                       name=f"resblock_{i}_{j}")(x)
-                xs = y if xs is None else xs + y
-            x = xs / num_kernels
+            x = _resblock_stage(x, ch, i, self.resblock_kernel_sizes,
+                                self.resblock_dilation_sizes,
+                                self.weight_norm, rb)
         x = jax.nn.leaky_relu(x)  # default slope 0.01, as reference F.leaky_relu
         x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post")(x)
         return jnp.tanh(x)
@@ -187,7 +222,6 @@ class NSFGenerator(nn.Module):
                  noise_key=None, deterministic: bool = False):
         # x: (B, T, C) latent; f0: (B, T_frames) Hz; g: (B, 1, gin)
         upp = math.prod(self.upsample_rates)
-        num_kernels = len(self.resblock_kernel_sizes)
         rb = ResBlock1 if self.resblock == "1" else ResBlock2
 
         har = SourceModuleHnNSF(self.sr, harmonic_num=0, name="m_source")(
@@ -222,13 +256,9 @@ class NSFGenerator(nn.Module):
             else:
                 x_source = Conv1d(ch, 1, name=f"noise_conv_{i}")(har)
             x = x + x_source
-            xs = None
-            for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
-                                             self.resblock_dilation_sizes)):
-                y = rb(ch, rk, tuple(rd), weight_norm=self.weight_norm,
-                       name=f"resblock_{i}_{j}")(x)
-                xs = y if xs is None else xs + y
-            x = xs / num_kernels
+            x = _resblock_stage(x, ch, i, self.resblock_kernel_sizes,
+                                self.resblock_dilation_sizes,
+                                self.weight_norm, rb)
         x = jax.nn.leaky_relu(x)
         x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post")(x)
         return jnp.tanh(x)

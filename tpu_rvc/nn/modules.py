@@ -29,6 +29,11 @@ LRELU_SLOPE = 0.1
 # kernel (set together with attention's flag by
 # tpu_rvc.nn.attention.pallas_attention).
 PALLAS_RESBLOCKS = False
+# Trace-time toggle for the WHOLE-STAGE kernel (3 resblocks + average as
+# one pallas_call, ops/pallas/resblock.py fused_stage).  Set of channel
+# widths it applies to; empty set disables.  Controlled by
+# tpu_rvc.nn.attention.pallas_attention(stage_channels=...).
+PALLAS_STAGE_CHANNELS: frozenset = frozenset()
 
 
 def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
@@ -284,7 +289,26 @@ class ResBlock1(nn.Module):
     weight_norm: bool = True
 
     @nn.compact
-    def __call__(self, x, x_mask=None):
+    def __call__(self, x, x_mask=None, collect_weights: bool = False):
+        # collect_weights: bind/return the 6 folded (w, b) pairs instead of
+        # computing — lets NSFGenerator hand a whole stage's weights to the
+        # fused_stage pallas kernel while the params stay owned here.
+        if collect_weights:
+            ws, bs = [], []
+            for i, d in enumerate(self.dilation):
+                c1 = Conv1d(self.channels, self.kernel_size,
+                            padding=_get_padding(self.kernel_size, d),
+                            dilation=d, weight_norm=self.weight_norm,
+                            kernel_init=normal_001_init, name=f"c1_{i}")
+                c2 = Conv1d(self.channels, self.kernel_size,
+                            padding=_get_padding(self.kernel_size, 1),
+                            dilation=1, weight_norm=self.weight_norm,
+                            kernel_init=normal_001_init, name=f"c2_{i}")
+                w1, b1 = c1.make_weights(self.channels)
+                w2, b2 = c2.make_weights(self.channels)
+                ws += [w1, w2]
+                bs += [b1, b2]
+            return ws, bs
         # Fused Pallas path: the whole 6-conv chain in VMEM (inference
         # graphs, B==1, unmasked, C small enough that weights fit VMEM).
         # Isolated A/B wins at C=64 (k7 scratch 1.84 ms vs XLA 4.04; k11

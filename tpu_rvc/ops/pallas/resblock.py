@@ -103,6 +103,125 @@ def _kernel(x_prev_ref, x_cur_ref, x_next_ref, *refs,
     o_ref[:] = cur[halo:halo + tile].astype(o_ref.dtype)
 
 
+def _stage_kernel(x_prev_ref, x_cur_ref, x_next_ref, *refs,
+                  tile: int, halo: int, kernel_sizes: Tuple[int, ...],
+                  dilations: Tuple[int, ...], true_len: int,
+                  scratch_ks: Tuple[int, ...]):
+    """Whole upsample-stage kernel: N parallel ResBlock1s (different K,
+    same dilations) + their average, one VMEM residency for the tile.
+
+    Per-resblock swaps did not compose in the full graph (the custom-call
+    boundary cost more than the kernels saved, round-1 measurement); this
+    amortizes ONE boundary over all 3*6 convs + the average."""
+    nrb = len(kernel_sizes)
+    n_d = len(dilations)
+    w_refs = refs[: 2 * n_d * nrb]
+    b_refs = refs[2 * n_d * nrb: 4 * n_d * nrb]
+    o_ref = refs[4 * n_d * nrb]
+    scratch = refs[4 * n_d * nrb + 1] if len(refs) > 4 * n_d * nrb + 1 \
+        else None
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    prev_tail = x_prev_ref[tile - halo:, :].astype(jnp.float32)
+    nxt_head = x_next_ref[:halo, :].astype(jnp.float32)
+    prev_tail = jnp.where(i == 0, 0.0, prev_tail)
+    nxt_head = jnp.where(i == n - 1, 0.0, nxt_head)
+    base = jnp.concatenate(
+        [prev_tail, x_cur_ref[:].astype(jnp.float32), nxt_head], axis=0)
+
+    grow = (jax.lax.broadcasted_iota(jnp.int32, (tile + 2 * halo, 1), 0)
+            + i * tile - halo)
+    valid = (grow >= 0) & (grow < true_len)
+
+    acc = None
+    for r, K in enumerate(kernel_sizes):
+        cur = base
+        use_scr = scratch if K in scratch_ks else None
+        for m, d in enumerate(dilations):
+            cur = jnp.where(valid, cur, 0.0)
+            t = jax.nn.leaky_relu(cur, LRELU_SLOPE)
+            t = _conv_same(
+                t, w_refs[2 * n_d * r + 2 * m][:].astype(jnp.float32),
+                b_refs[2 * n_d * r + 2 * m][:].astype(jnp.float32), d,
+                scratch_ref=use_scr)
+            t = jnp.where(valid, t, 0.0)
+            t = jax.nn.leaky_relu(t, LRELU_SLOPE)
+            t = _conv_same(
+                t, w_refs[2 * n_d * r + 2 * m + 1][:].astype(jnp.float32),
+                b_refs[2 * n_d * r + 2 * m + 1][:].astype(jnp.float32), 1,
+                scratch_ref=use_scr)
+            cur = cur + t
+        acc = cur if acc is None else acc + cur
+    out = acc * (1.0 / nrb)
+    o_ref[:] = out[halo:halo + tile].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_sizes", "dilations",
+                                              "tile", "interpret"))
+def fused_stage(x, weights, biases, *, kernel_sizes: Tuple[int, ...],
+                dilations: Tuple[int, ...] = (1, 3, 5), tile: int = 2048,
+                interpret: bool = False):
+    """mean_r(ResBlock1_{K_r}(x)) — the whole resblock stage of one
+    HiFiGAN upsample level (reference nsf.py:145 inner loop + average) as
+    ONE pallas_call.  x: (T, C); weights/biases: per resblock r the 6
+    tensors [c1_0, c2_0, c1_1, c2_1, c1_2, c2_2], concatenated in r order
+    (so 6*len(kernel_sizes) each).
+
+    Scratch-im2col policy per the round-1 per-K measurements: k=7 via the
+    in-VMEM (L, 7C) scratch (1.84 ms vs 4.04 XLA at C=64), k=3/k=11 via
+    per-tap matmuls (the k=11/C=64 scratch variant crashes the TPU
+    compiler)."""
+    T, C = x.shape
+    nrb = len(kernel_sizes)
+    assert len(weights) == 6 * nrb and len(biases) == 6 * nrb
+    halo = max(_halo(k, dilations) for k in kernel_sizes)
+    assert halo <= tile, (halo, tile)
+    scratch_ks = tuple(k for k in kernel_sizes if k == 7)
+    n = -(-T // tile)
+    T_pad = n * tile
+    xp = jnp.pad(x, ((0, T_pad - T), (0, 0)))
+
+    def imap_prev(i):
+        return (jnp.maximum(i - 1, 0), 0)
+
+    def imap_cur(i):
+        return (i, 0)
+
+    def imap_next(i):
+        return (jnp.minimum(i + 1, n - 1), 0)
+
+    in_specs = [
+        pl.BlockSpec((tile, C), imap_prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, C), imap_cur, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, C), imap_next, memory_space=pltpu.VMEM),
+    ]
+    for w in weights:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    for b in biases:
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0,),
+                                     memory_space=pltpu.VMEM))
+    scratch_shapes = []
+    if scratch_ks:
+        scratch_shapes = [pltpu.VMEM(
+            (tile + 2 * halo, max(scratch_ks) * C), jnp.float32)]
+    out = pl.pallas_call(
+        functools.partial(_stage_kernel, tile=tile, halo=halo,
+                          kernel_sizes=tuple(kernel_sizes),
+                          dilations=tuple(dilations), true_len=T,
+                          scratch_ks=scratch_ks),
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, C), imap_cur,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_pad, C), x.dtype),
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(xp, xp, xp, *weights, *biases)
+    return out[:T]
+
+
 @functools.partial(jax.jit, static_argnames=("kernel_size", "dilations",
                                               "tile", "interpret",
                                               "use_scratch"))
