@@ -56,6 +56,7 @@ def _resblock_stage(x, ch, i, kernel_sizes, dilation_sizes, weight_norm, rb):
                          for d in dilation_sizes)
                  and len(dilation_sizes[0]) == 3)
     if use_stage:
+        import os
         from tpu_rvc.ops.pallas.resblock import fused_stage
         ws, bs = [], []
         for j, (rk, rd) in enumerate(zip(kernel_sizes, dilation_sizes)):
@@ -66,10 +67,14 @@ def _resblock_stage(x, ch, i, kernel_sizes, dilation_sizes, weight_norm, rb):
         xk = x[0].astype(jnp.bfloat16)
         ws = [w.astype(jnp.bfloat16) for w in ws]
         bs = [b.astype(jnp.bfloat16) for b in bs]
+        # tile 1024: the 3-resblock stage holds ~3x the live state of the
+        # single-resblock kernel, and tile 2048 blows the 16 MB scoped
+        # VMEM limit (measured 21.07 MB on v5e).  Env-tunable for A/B.
+        tile = int(os.environ.get("PALLAS_STAGE_TILE", "1024"))
         return fused_stage(xk, tuple(ws), tuple(bs),
                            kernel_sizes=tuple(kernel_sizes),
                            dilations=tuple(dilation_sizes[0]),
-                           tile=2048)[None].astype(x.dtype)
+                           tile=tile)[None].astype(x.dtype)
     xs = None
     for j, (rk, rd) in enumerate(zip(kernel_sizes, dilation_sizes)):
         y = rb(ch, rk, tuple(rd), weight_norm=weight_norm,

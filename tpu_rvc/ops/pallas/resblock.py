@@ -158,10 +158,11 @@ def _stage_kernel(x_prev_ref, x_cur_ref, x_next_ref, *refs,
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_sizes", "dilations",
-                                              "tile", "interpret"))
+                                              "tile", "interpret",
+                                              "scratch_ks"))
 def fused_stage(x, weights, biases, *, kernel_sizes: Tuple[int, ...],
                 dilations: Tuple[int, ...] = (1, 3, 5), tile: int = 2048,
-                interpret: bool = False):
+                interpret: bool = False, scratch_ks=None):
     """mean_r(ResBlock1_{K_r}(x)) — the whole resblock stage of one
     HiFiGAN upsample level (reference nsf.py:145 inner loop + average) as
     ONE pallas_call.  x: (T, C); weights/biases: per resblock r the 6
@@ -177,7 +178,10 @@ def fused_stage(x, weights, biases, *, kernel_sizes: Tuple[int, ...],
     assert len(weights) == 6 * nrb and len(biases) == 6 * nrb
     halo = max(_halo(k, dilations) for k in kernel_sizes)
     assert halo <= tile, (halo, tile)
-    scratch_ks = tuple(k for k in kernel_sizes if k == 7)
+    if scratch_ks is None:
+        scratch_ks = tuple(k for k in kernel_sizes if k == 7)
+    else:
+        scratch_ks = tuple(k for k in scratch_ks if k in kernel_sizes)
     n = -(-T // tile)
     T_pad = n * tile
     xp = jnp.pad(x, ((0, T_pad - T), (0, 0)))
