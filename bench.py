@@ -88,7 +88,7 @@ def main():
     # steady-state throughput with depth-1 pipelining: utterance i+1's
     # graph is dispatched before fetching utterance i (the metric is
     # audio-seconds per second per chip)
-    n_iter = 8
+    n_iter = 14
     times = []
     prev = None
     for _ in range(n_iter):

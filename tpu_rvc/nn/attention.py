@@ -43,8 +43,16 @@ class pallas_attention:
         self.enabled = enabled and jax.default_backend() == "tpu"
         self.resblocks = resblocks and self.enabled
         if stage_channels is None:
-            # experiment hook: PALLAS_STAGE_CHANNELS=32,64 enables the
-            # whole-stage kernel for those widths in every inference graph
+            # experiment hook: PALLAS_STAGE_CHANNELS=128 enables the
+            # whole-stage kernel for those widths in every inference
+            # graph.  Default OFF: the C=128 stage kernel wins the
+            # decoder-only amplified A/B (40.7 vs 42.8 ms,
+            # benchmarks/stage_ab.py) but REGRESSES the full fused
+            # conversion graph ~80 ms (median 198.9 vs 117.5, min 185
+            # vs 91, back-to-back bench.py runs) — the custom-call
+            # boundary breaks XLA's scheduling in the large graph, the
+            # second composition failure of this kind (see
+            # docs/en/performance.md).
             env = os.environ.get("PALLAS_STAGE_CHANNELS", "")
             stage_channels = [int(c) for c in env.split(",") if c.strip()]
         self.stage_channels = (frozenset(stage_channels) if self.enabled

@@ -179,7 +179,10 @@ def fused_stage(x, weights, biases, *, kernel_sizes: Tuple[int, ...],
     halo = max(_halo(k, dilations) for k in kernel_sizes)
     assert halo <= tile, (halo, tile)
     if scratch_ks is None:
-        scratch_ks = tuple(k for k in kernel_sizes if k == 7)
+        # measured on v5e (benchmarks/stage_ab.py): the all-per-tap stage
+        # kernel (no VMEM-scratch unfold) is fastest at C=128 — 40.72 vs
+        # 41.41 (scratch k=7) vs 42.84 ms (pure XLA) per decoder pass.
+        scratch_ks = ()
     else:
         scratch_ks = tuple(k for k in scratch_ks if k in kernel_sizes)
     n = -(-T // tile)
