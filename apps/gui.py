@@ -69,24 +69,27 @@ def control_thread(target, stop_event):  # pragma: no cover - stdin driven
     """Read live-control commands from stdin (the reference GUI's slider
     events, gui.py:518-592) and apply them mid-stream."""
     print("controls: key <n> | formant <f> | index <r> | rms <r> | quit")
-    for line in sys.stdin:
-        parts = line.split()
-        if not parts:
-            continue
-        cmd, val = parts[0], (float(parts[1]) if len(parts) > 1 else 0.0)
-        if cmd == "key":
-            target.set_key(val)
-        elif cmd == "formant":
-            target.set_formant(val)
-        elif cmd == "index":
-            target.set_index_rate(val)
-        elif cmd == "rms":
-            target.set_rms_mix_rate(val)
-        elif cmd in ("quit", "exit", "stop"):
-            stop_event.set()
-            return
-        else:
-            print(f"unknown command {cmd}")
+    try:
+        for line in sys.stdin:
+            parts = line.split()
+            if not parts:
+                continue
+            cmd, val = parts[0], (float(parts[1]) if len(parts) > 1 else 0.0)
+            if cmd == "key":
+                target.set_key(val)
+            elif cmd == "formant":
+                target.set_formant(val)
+            elif cmd == "index":
+                target.set_index_rate(val)
+            elif cmd == "rms":
+                target.set_rms_mix_rate(val)
+            elif cmd in ("quit", "exit", "stop"):
+                stop_event.set()
+                return
+            else:
+                print(f"unknown command {cmd}")
+    except (OSError, ValueError):  # captured/closed stdin (test harnesses)
+        return
 
 
 def run_file(args):
@@ -96,8 +99,17 @@ def run_file(args):
     audio = load_audio(args.input, args.samplerate)
     bf = sess.block_frame
     n_blocks = len(audio) // bf
+    # same stdin control surface as live mode (docstring contract): a
+    # daemon reader applies key/formant/index/rms mid-stream; 'quit'
+    # stops after the current block
+    stop = threading.Event()
+    threading.Thread(target=control_thread, args=(sess, stop),
+                     daemon=True).start()
     outs, lat = [], []
     for i in range(n_blocks):
+        if stop.is_set():
+            n_blocks = i
+            break
         t0 = time.perf_counter()
         outs.append(sess.feed(audio[i * bf:(i + 1) * bf]))
         lat.append(time.perf_counter() - t0)
@@ -169,11 +181,12 @@ def main(argv=None):
     p.add_argument("--f0-up-key", type=float, default=cfg.pitch)
     p.add_argument("--formant", type=float, default=cfg.formant)
     p.add_argument("--index-rate", type=float, default=cfg.index_rate)
-    p.add_argument("--rms-mix-rate", type=float,
-                   default=cfg.rms_mix_rate or 1.0)
+    p.add_argument("--rms-mix-rate", type=float, default=cfg.rms_mix_rate)
     p.add_argument("--protect", type=float, default=0.33)
-    p.add_argument("--use-pv", action="store_true", default=cfg.use_pv,
-                   help="phase vocoder crossfade instead of linear")
+    p.add_argument("--use-pv", action=argparse.BooleanOptionalAction,
+                   default=cfg.use_pv,
+                   help="phase vocoder crossfade instead of linear "
+                        "(--no-use-pv turns a persisted setting off)")
     p.add_argument("--no-save-config", action="store_true")
     args = p.parse_args(argv)
 

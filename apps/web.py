@@ -124,10 +124,17 @@ class Api:
         if file_index and os.path.exists(file_index):
             from tpu_rvc.retrieval.index import FeatureIndex
             index = FeatureIndex.load(file_index)
+        manual_f0 = None
+        if f0_file and os.path.exists(f0_file):
+            # comma-separated "time_s,f0_hz" rows (reference pipeline's
+            # f0_file parsing, infer/modules/vc/pipeline.py:244-253)
+            rows = [line.split(",") for line in
+                    open(f0_file).read().strip().split("\n") if line.strip()]
+            manual_f0 = [[float(x) for x in r] for r in rows]
         info, (sr, audio) = vc.vc_single(
             sid, input_audio_path, f0_up_key, f0_method, index, index_rate,
             filter_radius, resample_sr, rms_mix_rate, protect,
-            chunk_parallel=chunk_parallel)
+            f0_file=manual_f0, chunk_parallel=chunk_parallel)
         from tpu_rvc.audio.io import save_audio
         save_audio(output_path, audio, sr)
         return {"info": info, "sr": sr, "output": output_path}
@@ -224,7 +231,7 @@ class Api:
                         n_p: int = 8, per: float = 3.7, epochs: int = 20,
                         batch_size: int = 4, save_every: int = 5,
                         pretrain_g: str = "", pretrain_d: str = "",
-                        name: str = "model", log_fn=None):
+                        name: str = "model", author: str = "", log_fn=None):
         """One-click training (reference train1key, web.py:600-688):
         preprocess -> f0/feature extraction -> GAN training -> index."""
         log = log_fn or (lambda s: None)
@@ -236,7 +243,8 @@ class Api:
         log("step 3/4: training")
         steps.append(self.train_start(exp_dir, version, sr, if_f0, epochs,
                                       batch_size, save_every, pretrain_g,
-                                      pretrain_d, name, log_fn=log_fn))
+                                      pretrain_d, name, author=author,
+                                      log_fn=log_fn))
         log("step 4/4: index build")
         steps.append(self.train_index(exp_dir, version, name))
         return {"status": "done", "steps": steps}
@@ -259,12 +267,13 @@ class Api:
                 for k, v in cpt.items() if k != "weight"}
 
     def ckpt_extract(self, path: str, name: str, sr: str, if_f0: int,
-                     info: str, version: str):
+                     info: str, version: str, author: str = ""):
         from tpu_rvc.core.config import hparams_for
         from tpu_rvc.ckpt.small_model import extract_small_model
         hp = hparams_for(version, {"32k": 32000, "40k": 40000,
                                    "48k": 48000}[sr])
-        out = extract_small_model(path, name, sr, if_f0, info, version, hp)
+        out = extract_small_model(path, name, sr, if_f0, info, version, hp,
+                                  author=author)
         return {"output": out}
 
     # ---------------- export tab ----------------
@@ -287,9 +296,9 @@ class Api:
         import threading
         import time
 
-        fn = getattr(self, endpoint)
-        if endpoint not in ENDPOINTS or not callable(fn):
+        if endpoint not in ENDPOINTS:
             raise ValueError(f"unknown endpoint {endpoint}")
+        fn = getattr(self, endpoint)
         lines: list = []
         done = [False]
         res: dict = {}

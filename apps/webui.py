@@ -76,6 +76,8 @@ def build_app(gr, api, *, faq_path: str | None = None):
         out_path = os.path.join("opt", "webui_out.wav")
         os.makedirs("opt", exist_ok=True)
         try:
+            idx_file = getattr(idx_file, "name", idx_file)  # gr.File unwrap
+            f0_file = getattr(f0_file, "name", f0_file)
             r = api.infer_convert(
                 int(spk or 0), input_path, int(transpose or 0), method,
                 idx_file or idx_drop or "", float(index_rate),
@@ -101,6 +103,7 @@ def build_app(gr, api, *, faq_path: str | None = None):
                     p = getattr(f, "name", f)
                     shutil.copy(p, src_dir)
                 src = src_dir
+            idx_file = getattr(idx_file, "name", idx_file)  # gr.File unwrap
             r = api.infer_convert_batch(
                 int(spk or 0), src, opt_input or "opt",
                 model_name=model_name, f0_up_key=int(transpose or 0),
@@ -174,7 +177,8 @@ def build_app(gr, api, *, faq_path: str | None = None):
             if_f0=int(if_f0 == i18n("Yes")), f0_method=method,
             n_p=int(n_p), epochs=int(total_epoch),
             batch_size=int(batch_size), save_every=int(save_epoch),
-            pretrain_g=pretrain_g, pretrain_d=pretrain_d, name=exp_name)
+            pretrain_g=pretrain_g, pretrain_d=pretrain_d, name=exp_name,
+            author=author)
 
     def ui_ckpt_merge(a, b, alpha, sr, f0, info, name, version):
         try:
@@ -199,7 +203,7 @@ def build_app(gr, api, *, faq_path: str | None = None):
     def ui_ckpt_extract(path, name, author, sr, if_f0, info, version):
         try:
             return api.ckpt_extract(path, name, sr, int(if_f0 == "1"),
-                                    info, version)["output"]
+                                    info, version, author=author)["output"]
         except Exception as e:
             return f"error: {e}"
 

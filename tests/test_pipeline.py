@@ -261,6 +261,14 @@ def test_pipeline_fused_fcpe_path(small_pipeline):
     assert out2.dtype == np.int16 and abs(len(out2) - 32000) < 1600
     assert small_pipeline.last_f0_note == "fcpe->pm (no checkpoint)"
 
+    # the non-fused (chunked / manual-f0) path surfaces the downgrade too
+    manual = np.asarray([[0.0, 220.0], [2.0, 220.0]], np.float32)
+    out3 = small_pipeline.pipeline(
+        0, tone(), times, 0, "fcpe", None, 0.0, 1, 3, 0, 0.25, 0.33,
+        f0_file=manual)
+    assert out3.dtype == np.int16
+    assert small_pipeline.last_f0_note == "fcpe->pm (no checkpoint)"
+
 
 def test_vc_facade_single_and_multi(tmp_path):
     """VC facade end-to-end (reference modules.py:117/201): load a small

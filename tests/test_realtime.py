@@ -395,6 +395,11 @@ def test_live_config_persistence(tmp_path):
     # corrupt file -> pure defaults
     open(p, "w").write("{not json")
     assert LiveConfig.load(p) == LiveConfig()
+    # valid JSON of the wrong shape (non-dict) -> pure defaults, no crash
+    open(p, "w").write("[1, 2, 3]")
+    assert LiveConfig.load(p) == LiveConfig()
+    open(p, "w").write('"oops"')
+    assert LiveConfig.load(p) == LiveConfig()
 
 
 def test_list_audio_devices_gated():

@@ -161,6 +161,109 @@ def test_infer_convert_binding_maps_args(built, monkeypatch):
     assert calls["model_name"] == "model.pth"
 
 
+def test_infer_convert_binding_unwraps_file_objects(built, monkeypatch):
+    """gr.File values arrive as tempfile wrappers with a .name under
+    gradio 3.x; the index and f0-curve pickers must be unwrapped before
+    they reach the Api (else os.path.exists(File) raises)."""
+    gr, api, _ = built
+    calls = {}
+
+    def fake_infer_convert(sid, path, key, method, file_index, index_rate,
+                           filter_radius, resample_sr, rms_mix_rate, protect,
+                           model_name="", output_path="", f0_file=None,
+                           **kw):
+        calls.update(locals())
+        return {"info": "ok", "sr": 48000, "output": output_path}
+
+    monkeypatch.setattr(api, "infer_convert", fake_infer_convert)
+
+    class File:
+        def __init__(self, name):
+            self.name = name
+
+    b = next(x for x in gr.bindings if x.api_name == "infer_convert")
+    b.fn(0, "in.wav", 0, File("/tmp/curve.csv"), "rmvpe",
+         File("/tmp/my.idx"), "", 0.75, 3, 0, 0.25, 0.33, "model.pth")
+    assert calls["file_index"] == "/tmp/my.idx"
+    assert calls["f0_file"] == "/tmp/curve.csv"
+    # and the batch tab's index File too
+    calls.clear()
+
+    def fake_batch(sid, src, out, file_index="", **kw):
+        calls["file_index"] = file_index
+        return {"report": ["ok"]}
+
+    monkeypatch.setattr(api, "infer_convert_batch", fake_batch)
+    bb = next(x for x in gr.bindings if x.api_name == "infer_convert_batch")
+    bb.fn(0, "/nonexistent_dir", "opt", None, 0, "rmvpe",
+          File("/tmp/b.idx"), "", 1.0, 3, 0, 1.0, 0.33, "wav", "m.pth")
+    assert calls["file_index"] == "/tmp/b.idx"
+
+
+def test_ckpt_extract_binding_forwards_author(built, monkeypatch):
+    """The Model Author textbox reaches extract (reference web.py:1505
+    passes extauthor into extract_small_model)."""
+    gr, api, _ = built
+    calls = {}
+
+    def fake_extract(path, name, sr, if_f0, info, version, author=""):
+        calls.update(locals())
+        return {"output": "saved"}
+
+    monkeypatch.setattr(api, "ckpt_extract", fake_extract)
+    b = next(x for x in gr.bindings if x.api_name == "ckpt_extract")
+    assert b.fn("G_1.pth", "small", "someone", "48k", "1", "info",
+                "v2") == "saved"
+    assert calls["author"] == "someone"
+
+
+def test_api_ckpt_extract_saves_author(tmp_path, monkeypatch):
+    """Api.ckpt_extract threads author into the saved small model."""
+    from web import Api
+    captured = {}
+
+    def fake_extract_small_model(path, name, sr, if_f0, info, version, hp,
+                                 out_path=None, author=""):
+        captured["author"] = author
+        return "out.pth"
+
+    import tpu_rvc.ckpt.small_model as sm
+    monkeypatch.setattr(sm, "extract_small_model", fake_extract_small_model)
+    out = Api().ckpt_extract("G_1.pth", "n", "48k", 1, "i", "v2",
+                             author="author-x")
+    assert out == {"output": "out.pth"} and captured["author"] == "author-x"
+
+
+def test_api_infer_convert_parses_f0_file(built, tmp_path, monkeypatch):
+    """Api.infer_convert reads a comma-separated f0 curve file and passes
+    the parsed rows to vc_single (reference pipeline.py:244-253)."""
+    gr, api, _ = built
+    seen = {}
+
+    class FakeVC:
+        def vc_single(self, sid, path, key, method, index, index_rate,
+                      filter_radius, resample_sr, rms_mix_rate, protect,
+                      f0_file=None, chunk_parallel=False, **kw):
+            seen["f0_file"] = f0_file
+            import numpy as np
+            return "ok", (16000, np.zeros(16, np.int16))
+
+    monkeypatch.setattr(api, "_get_vc", lambda name: (FakeVC(), {}))
+    curve = tmp_path / "curve.csv"
+    curve.write_text("0.0,220.0\n1.0,230.5\n")
+    r = api.infer_convert(0, "in.wav", f0_file=str(curve),
+                          output_path=str(tmp_path / "o.wav"))
+    assert r["info"] == "ok"
+    assert seen["f0_file"] == [[0.0, 220.0], [1.0, 230.5]]
+
+
+def test_stream_endpoint_rejects_unknown_names(built):
+    gr, api, _ = built
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown endpoint"):
+        list(api.stream_endpoint("no_such_endpoint"))
+
+
 def test_refresh_and_clean_bindings(built, tmp_path):
     gr, api, _ = built
     os.makedirs(api.weight_root, exist_ok=True)

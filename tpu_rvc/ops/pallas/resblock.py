@@ -161,7 +161,7 @@ def _stage_kernel(x_prev_ref, x_cur_ref, x_next_ref, *refs,
                                               "tile", "interpret",
                                               "scratch_ks"))
 def fused_stage(x, weights, biases, *, kernel_sizes: Tuple[int, ...],
-                dilations: Tuple[int, ...] = (1, 3, 5), tile: int = 2048,
+                dilations: Tuple[int, ...] = (1, 3, 5), tile: int = 1024,
                 interpret: bool = False, scratch_ks=None):
     """mean_r(ResBlock1_{K_r}(x)) — the whole resblock stage of one
     HiFiGAN upsample level (reference nsf.py:145 inner loop + average) as
@@ -172,7 +172,9 @@ def fused_stage(x, weights, biases, *, kernel_sizes: Tuple[int, ...],
     Scratch-im2col policy per the round-1 per-K measurements: k=7 via the
     in-VMEM (L, 7C) scratch (1.84 ms vs 4.04 XLA at C=64), k=3/k=11 via
     per-tap matmuls (the k=11/C=64 scratch variant crashes the TPU
-    compiler)."""
+    compiler).  tile defaults to 1024: the 3-resblock stage's live state
+    at tile 2048 exceeds the 16 MB scoped-VMEM limit (21.07 MB measured
+    on v5e); larger tiles are opt-in for A/B only."""
     T, C = x.shape
     nrb = len(kernel_sizes)
     assert len(weights) == 6 * nrb and len(biases) == 6 * nrb

@@ -66,6 +66,8 @@ class LiveConfig:
         try:
             with open(path) as f:
                 data = json.load(f)
+            if not isinstance(data, dict):  # valid JSON, wrong shape
+                return cfg
             fields = {f.name for f in dataclasses.fields(cls)}
             for k, v in data.items():
                 if k in fields:

@@ -355,6 +355,11 @@ class Pipeline:
                 pitch, pitchf = self._graphs[key](
                     audio_pad_dev, jnp.asarray(float(f0_up_key)))
             else:
+                if (f0_method == "fcpe"
+                        and self.f0_gen._get("fcpe").model is None):
+                    # estimator falls back to PM internally; surface it in
+                    # the info string like the fused path does
+                    self.last_f0_note = "fcpe->pm (no checkpoint)"
                 c, f = self.f0_gen.calculate(
                     audio_pad, p_len, f0_up_key, f0_method, filter_radius,
                     f0_file)
