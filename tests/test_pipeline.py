@@ -76,6 +76,31 @@ def test_pipeline_long_audio_chunks(small_pipeline):
     assert abs(len(out) - 7 * 16000) < 3200
 
 
+def test_pipeline_short_clip(small_pipeline):
+    """A clip much shorter than t_pad still converts: numpy's reflect pad
+    extends by repeated reflection (the torch reference would crash here —
+    F.pad reflect requires pad < length)."""
+    times = [0.0, 0.0, 0.0]
+    out = small_pipeline.pipeline(
+        0, tone(dur=0.3), times, 0, "pm", None, 0.0, 1, 3, 0, 0.25, 0.33)
+    assert out.dtype == np.int16
+    assert abs(len(out) - int(0.3 * 16000)) < 1600
+    assert np.isfinite(out.astype(np.float32)).all()
+
+
+def test_vc_single_empty_audio_clear_error(tmp_path):
+    """Empty input surfaces a clear ValueError, not a numpy internals
+    crash."""
+    from tpu_rvc.audio.io import save_wav
+
+    p = str(tmp_path / "empty.wav")
+    save_wav(p, np.zeros(0, np.float32), 16000)
+    vc = VC.__new__(VC)
+    vc.pipeline = object()  # past the get_vc guard; load happens first
+    with pytest.raises(ValueError, match="empty audio"):
+        vc.vc_single(0, p)
+
+
 def test_pipeline_with_retrieval(small_pipeline, rng):
     idx = build_index(rng.standard_normal((100, 64)).astype(np.float32))
     times = [0.0, 0.0, 0.0]

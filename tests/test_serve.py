@@ -1,0 +1,172 @@
+"""Multi-client streaming server tests: SlotScheduler batched serving
+core and the TCP framing front end (apps/serve.py), hardware-free.
+
+The reference has no serving surface (rtrvc is one process per user);
+these tests cover the beyond-reference batched path: N sessions advanced
+by one dispatch, per-slot SOLA seams, underrun accounting, and the wire
+protocol end-to-end over a real socket."""
+
+import os
+import sys
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_rvc.models.synthesizer import Synthesizer
+from tpu_rvc.models.hubert import Hubert
+from tpu_rvc.pipeline.rt import RealtimeVC
+from tpu_rvc.pipeline.serve import SlotScheduler
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "apps"))
+
+SMALL_HUBERT = dict(output_layer=1, final_proj=False, embed=64, ffn_dim=64,
+                    n_heads=2, pos_conv_k=16, pos_conv_groups=2,
+                    conv_layers=((32, 10, 5), (32, 4, 4), (32, 4, 4),
+                                 (32, 2, 2), (32, 2, 2)))
+
+SMALL_SYNTH = dict(
+    spec_channels=129, segment_size=640, inter_channels=32,
+    hidden_channels=32, filter_channels=64, n_heads=2, n_layers=1,
+    kernel_size=3, p_dropout=0.0, resblock="1",
+    resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3, 5),),
+    upsample_rates=(10, 16), upsample_initial_channel=32,
+    upsample_kernel_sizes=(20, 32), spk_embed_dim=2, gin_channels=16,
+    sr=16000, encoder_dim=64, use_f0=True, weight_norm=False,
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    hub = Hubert(**SMALL_HUBERT)
+    hv = hub.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))
+    syn = Synthesizer(**SMALL_SYNTH)
+    T = 20
+    sv = syn.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, T, 64)), jnp.asarray([T]), jnp.asarray([0]),
+        jnp.zeros((1, T), jnp.int32), jnp.zeros((1, T)),
+        method=Synthesizer.infer)
+    return RealtimeVC(hubert=hub, hubert_vars=hv, synth=syn, synth_vars=sv,
+                      version="v2", if_f0=1)
+
+
+@pytest.fixture(scope="module")
+def sched(engine):
+    """Shared 2-slot scheduler (one CPU compile for the whole module):
+    16 kHz, 160 ms blocks, 0.64 s extra context -> skip_head 64."""
+    return SlotScheduler(engine, n_slots=2, samplerate=16000,
+                         block_time=0.16, crossfade_time=0.04,
+                         extra_time=0.64, f0method="pm")
+
+
+def tone(hz, sr=16000, dur=1.0):
+    t = np.arange(int(sr * dur)) / sr
+    return (0.5 * np.sin(2 * np.pi * hz * t)).astype(np.float32)
+
+
+def drain(sched, slot, want, max_ticks=50):
+    got = np.zeros(0, np.float32)
+    ticks = 0
+    while len(got) < want and ticks < max_ticks:
+        if sched.ready():
+            sched.tick()
+        got = np.concatenate([got, sched.collect(slot)])
+        ticks += 1
+    return got
+
+
+def test_two_streams_one_dispatch(sched):
+    bf = sched.block_frame
+    assert bf == 2560  # 160 ms at 16 kHz
+    s0, s1 = sched.attach(), sched.attach()
+    n = 4
+    sched.submit(s0, tone(220.0, dur=n * bf / 16000))
+    sched.submit(s1, tone(330.0, dur=n * bf / 16000))
+    out0 = np.zeros(0, np.float32)
+    out1 = np.zeros(0, np.float32)
+    while sched.ready():
+        sched.tick()
+        out0 = np.concatenate([out0, sched.collect(s0)])
+        out1 = np.concatenate([out1, sched.collect(s1)])
+    assert len(out0) == n * bf and len(out1) == n * bf
+    assert np.isfinite(out0).all() and np.isfinite(out1).all()
+    # both streams produced audio, and they differ (independent inputs)
+    assert np.abs(out0[bf:]).max() > 1e-4
+    assert np.abs(out0[bf:] - out1[bf:]).max() > 1e-4
+    st = sched.stats()
+    assert st["underruns"] == [0, 0] and st["blocks"] == [n, n]
+    # continuity across SOLA seams: no pathological step at block joins
+    for k in range(2, n):
+        seam = abs(float(out0[k * bf]) - float(out0[k * bf - 1]))
+        assert seam < 0.5, f"discontinuity {seam} at block {k}"
+    sched.detach(s0)
+    sched.detach(s1)
+
+
+def test_underrun_accounting_and_recovery(sched):
+    bf = sched.block_frame
+    s = sched.attach()
+    # no underrun before the first submit: tick is a no-op for this slot
+    assert not sched.ready()
+    sched.submit(s, tone(220.0, dur=bf / 16000))  # exactly one block
+    while sched.ready():
+        sched.tick()
+    assert sched.stats()["underruns"][s] == 0
+    # starve: force a tick with an empty queue (scheduler keeps cadence
+    # when any OTHER slot is ready; emulate by ticking directly)
+    sched.tick()
+    st = sched.stats()
+    assert st["underruns"][s] == 1
+    out = sched.collect(s)
+    assert len(out) == 2 * bf  # silence block still emitted (cadence)
+    # recovery: feeding again keeps converting
+    sched.submit(s, tone(220.0, dur=bf / 16000))
+    while sched.ready():
+        sched.tick()
+    assert len(sched.collect(s)) == bf
+    assert sched.stats()["blocks"][s] == 3
+    sched.detach(s)
+
+
+def test_attach_detach_capacity(sched):
+    a = sched.attach()
+    b = sched.attach()
+    with pytest.raises(RuntimeError, match="server full"):
+        sched.attach()
+    sched.detach(a)
+    c = sched.attach()  # freed slot is reusable, state reset
+    assert c == a
+    assert sched.stats()["blocks"][c] == 0
+    sched.detach(b)
+    sched.detach(c)
+
+
+def test_tcp_server_end_to_end(sched, tmp_path):
+    """Full wire-protocol drive: spin the TCP server on an ephemeral
+    port, stream a wav through it with the bundled client, check the
+    converted file and the stats reply."""
+    from serve import VCServer, stream_file
+    from tpu_rvc.audio.io import load_wav, save_wav
+
+    srv = VCServer(("127.0.0.1", 0), sched)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        bf = sched.block_frame
+        in_path = str(tmp_path / "in.wav")
+        out_path = str(tmp_path / "out.wav")
+        save_wav(in_path, tone(220.0, dur=4 * bf / 16000), 16000)
+        stats = stream_file("127.0.0.1", port, in_path, out_path,
+                            timeout=120.0)
+        assert stats["blocks"][0] >= 4 and stats["samplerate"] == 16000
+        y, sr = load_wav(out_path)
+        assert sr == 16000 and len(y) == 4 * bf
+        assert np.isfinite(y).all() and np.abs(y[bf:]).max() > 1e-4
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -467,31 +467,45 @@ class StreamSession:
         return self._merge_block(infer_wav)
 
     def _merge_block(self, infer_wav: np.ndarray) -> np.ndarray:
-        need = (self.block_frame + self.sola_buffer_frame +
-                self.sola_search_frame)
-        if len(infer_wav) < need:
-            infer_wav = np.pad(infer_wav, (0, need - len(infer_wav)))
-        # SOLA alignment (gui.py:1058-1073)
-        n = self.sola_buffer_frame + self.sola_search_frame
-        conv_input = infer_wav[:n + 1]
-        cor_nom = np.correlate(conv_input, self.sola_buffer, mode="valid")
-        sq = np.convolve(conv_input ** 2,
-                         np.ones(self.sola_buffer_frame), mode="valid")
-        cor_den = np.sqrt(sq + 1e-8)
-        k = min(len(cor_nom), len(cor_den))
-        sola_offset = int(np.argmax(cor_nom[:k] / cor_den[:k]))
-        infer_wav = np.array(infer_wav[sola_offset:])  # own writable copy
-        if not self.use_pv:
-            infer_wav[: self.sola_buffer_frame] = (
-                infer_wav[: self.sola_buffer_frame] * self.fade_in_window +
-                self.sola_buffer * self.fade_out_window)
-        else:
-            infer_wav[: self.sola_buffer_frame] = phase_vocoder(
-                self.sola_buffer, infer_wav[: self.sola_buffer_frame],
-                self.fade_out_window, self.fade_in_window)
-        self.sola_buffer[:] = infer_wav[
-            self.block_frame: self.block_frame + self.sola_buffer_frame]
-        return infer_wav[: self.block_frame].copy()
+        out, self.sola_buffer = sola_merge(
+            infer_wav, self.sola_buffer, self.fade_in_window,
+            self.fade_out_window, self.block_frame, self.sola_buffer_frame,
+            self.sola_search_frame, use_pv=self.use_pv)
+        return out
+
+
+def sola_merge(infer_wav: np.ndarray, sola_buffer: np.ndarray,
+               fade_in: np.ndarray, fade_out: np.ndarray,
+               block_frame: int, sola_buffer_frame: int,
+               sola_search_frame: int, use_pv: bool = False
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """SOLA alignment + crossfade merge of one converted block
+    (gui.py:1058-1090): find the offset in the search window that best
+    matches the previous block's tail, crossfade (or phase-vocoder) the
+    seam, and return (aligned block, next sola_buffer).  Pure function of
+    its inputs so multi-slot servers can keep one buffer per stream."""
+    need = block_frame + sola_buffer_frame + sola_search_frame
+    if len(infer_wav) < need:
+        infer_wav = np.pad(infer_wav, (0, need - len(infer_wav)))
+    n = sola_buffer_frame + sola_search_frame
+    conv_input = infer_wav[:n + 1]
+    cor_nom = np.correlate(conv_input, sola_buffer, mode="valid")
+    sq = np.convolve(conv_input ** 2,
+                     np.ones(sola_buffer_frame), mode="valid")
+    cor_den = np.sqrt(sq + 1e-8)
+    k = min(len(cor_nom), len(cor_den))
+    sola_offset = int(np.argmax(cor_nom[:k] / cor_den[:k]))
+    infer_wav = np.array(infer_wav[sola_offset:])  # own writable copy
+    if not use_pv:
+        infer_wav[:sola_buffer_frame] = (
+            infer_wav[:sola_buffer_frame] * fade_in +
+            sola_buffer * fade_out)
+    else:
+        infer_wav[:sola_buffer_frame] = phase_vocoder(
+            sola_buffer, infer_wav[:sola_buffer_frame], fade_out, fade_in)
+    new_buffer = infer_wav[
+        block_frame: block_frame + sola_buffer_frame].copy()
+    return infer_wav[:block_frame].copy(), new_buffer
 
 
 class FusedStreamGraph:

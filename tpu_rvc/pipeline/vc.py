@@ -469,6 +469,8 @@ class VC:
         if self.pipeline is None:
             raise RuntimeError("call get_vc first")
         audio = load_audio(input_audio_path, SR)
+        if len(audio) == 0:
+            raise ValueError(f"{input_audio_path}: empty audio")
         audio_max = np.abs(audio).max() / 0.95
         if audio_max > 1:
             audio = audio / audio_max
