@@ -158,6 +158,60 @@ def test_dp_multistep_training_learns_over_mesh():
     assert np.mean(mels[-3:]) < np.mean(mels[:3]) - 0.5, mels
 
 
+def test_fsdp_2d_mesh_train_step():
+    """2-D (data x model) layout: batch sharded over "data", params +
+    optimizer moments FSDP-sharded over "model" (ZeRO-3 style; beyond the
+    reference's replicated-DDP train.py:102-217).  The step function is
+    unchanged — GSPMD inserts the gathers/scatters — and the first-step
+    loss must match the replicated DP run bit-for-tolerance."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpu_rvc.core.mesh import make_mesh
+    from tpu_rvc.parallel.fsdp import (shard_train_state,
+                                       assert_state_sharded)
+
+    state0, net_g, net_d = create_train_state(TINY_HP, jax.random.PRNGKey(0))
+    step = make_train_step(net_g, net_d, TINY_HP, donate=False)
+    batch_np = make_batch(TINY_HP, B=4)
+
+    # replicated-DP baseline on a (2, 1) mesh
+    mesh_dp = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    batch = {k: jax.device_put(jnp.asarray(v),
+                               NamedSharding(mesh_dp, P("data")))
+             for k, v in batch_np.items()}
+    st = jax.device_put(state0, NamedSharding(mesh_dp, P()))
+    _, m_dp = step(st, batch, jax.random.PRNGKey(1))
+    ref_loss = float(m_dp["loss_gen_all"])
+
+    # dp x fsdp on a (2, 2) mesh
+    mesh = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+    batch = {k: jax.device_put(jnp.asarray(v),
+                               NamedSharding(mesh, P("data")))
+             for k, v in batch_np.items()}
+    st = shard_train_state(state0, mesh)
+    frac = assert_state_sharded(st, min_sharded_frac=0.5)
+    st, metrics = step(st, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss_gen_all"]))
+    np.testing.assert_allclose(float(metrics["loss_gen_all"]), ref_loss,
+                               rtol=2e-3)
+    # the *updated* params stay FSDP-sharded across steps (no silent
+    # re-replication — that would defeat the memory win)
+    assert_state_sharded(st, min_sharded_frac=0.5 * frac)
+    st, metrics = step(st, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss_gen_all"]))
+
+
+def test_fsdp_spec_picks_largest_divisible_axis():
+    from jax.sharding import PartitionSpec as P
+    from tpu_rvc.parallel.fsdp import fsdp_spec
+
+    assert fsdp_spec((7, 64, 128), 4) == P(None, None, "model")
+    assert fsdp_spec((128, 64), 4) == P("model", None)
+    assert fsdp_spec((64, 128), 4) == P(None, "model")   # tie -> last
+    assert fsdp_spec((33,), 4) == P()                    # not divisible
+    assert fsdp_spec((), 4) == P()                       # scalar
+    assert fsdp_spec((256,), 1) == P()                   # no model axis
+
+
 def test_checkpoint_resume_under_mesh(tmp_path):
     """save -> fresh state -> load -> continue, all under the mesh
     (reference resume: utils.py:27-73,129).  The loaded state must be
