@@ -117,17 +117,26 @@ class _Handler(socketserver.BaseRequestHandler):
     def handle(self):  # one thread per client
         sched = self.server.scheduler
         sock = self.request
+        # the handler thread (JSON replies) and the writer thread (audio
+        # frames) share the socket: serialize sends or the length-prefixed
+        # framing interleaves and the client desyncs
+        wlock = threading.Lock()
+
+        def reply(obj):
+            with wlock:
+                send_json(sock, obj)
+
         try:
             slot = sched.attach()
         except RuntimeError as e:
-            send_json(sock, {"ok": False, "error": str(e)})
+            reply({"ok": False, "error": str(e)})
             return
-        send_json(sock, {"ok": True, "slot": slot,
-                         "samplerate": sched.sr,
-                         "block_frame": sched.block_frame})
+        reply({"ok": True, "slot": slot,
+               "samplerate": sched.sr,
+               "block_frame": sched.block_frame})
         stop = threading.Event()
         writer = threading.Thread(target=self._writer,
-                                  args=(sock, sched, slot, stop),
+                                  args=(sock, sched, slot, stop, wlock),
                                   daemon=True)
         writer.start()
         try:
@@ -139,7 +148,7 @@ class _Handler(socketserver.BaseRequestHandler):
                     msg = json.loads(payload)
                     cmd = msg.get("cmd")
                     if cmd == "stats":
-                        send_json(sock, sched.stats())
+                        reply(sched.stats())
                     elif cmd == "set_key":
                         sched.engine.set_key(float(msg["value"]))
                     elif cmd == "set_index_rate":
@@ -147,8 +156,8 @@ class _Handler(socketserver.BaseRequestHandler):
                     elif cmd == "bye":
                         break
                     else:
-                        send_json(sock, {"ok": False,
-                                         "error": f"unknown cmd {cmd}"})
+                        reply({"ok": False,
+                               "error": f"unknown cmd {cmd}"})
         except (ConnectionError, OSError):
             pass
         finally:
@@ -156,12 +165,13 @@ class _Handler(socketserver.BaseRequestHandler):
             sched.detach(slot)
 
     @staticmethod
-    def _writer(sock, sched, slot, stop):
+    def _writer(sock, sched, slot, stop, wlock):
         while not stop.is_set():
             out = sched.collect(slot)
             if len(out):
                 try:
-                    send_audio(sock, out)
+                    with wlock:
+                        send_audio(sock, out)
                 except OSError:
                     return
             else:

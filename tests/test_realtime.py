@@ -317,8 +317,16 @@ def test_live_loop_midstream_controls(engine):
     loop.callback(audio[4 * bf:5 * bf], outdata)
     loop.process_available()
     assert np.isfinite(outdata).all()
+    # returning the slider to neutral RESTORES the fused fast path (the
+    # graph was parked, not discarded) and the stream keeps flowing
+    loop.set_formant(0.0)
+    assert engine.formant_shift == 0.0
+    if had_fused:
+        assert sess._fused is not None
+    loop.callback(audio[5 * bf:6 * bf], outdata)
+    loop.process_available()
+    assert np.isfinite(outdata).all()
     engine.set_key(0.0)
-    engine.set_formant(0.0)
 
 
 def test_live_loop_threaded_model_loop(engine):

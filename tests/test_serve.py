@@ -54,13 +54,28 @@ def engine():
                       version="v2", if_f0=1)
 
 
+class FakeClock:
+    """Hand-advanced monotonic clock: CPU ticks here are far slower than
+    the 160 ms block, so wall time would fake starvation; tests advance
+    time explicitly to exercise the underrun cadence."""
+
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self) -> float:
+        return self.t
+
+
 @pytest.fixture(scope="module")
 def sched(engine):
     """Shared 2-slot scheduler (one CPU compile for the whole module):
     16 kHz, 160 ms blocks, 0.64 s extra context -> skip_head 64."""
-    return SlotScheduler(engine, n_slots=2, samplerate=16000,
-                         block_time=0.16, crossfade_time=0.04,
-                         extra_time=0.64, f0method="pm")
+    clk = FakeClock()
+    s = SlotScheduler(engine, n_slots=2, samplerate=16000,
+                      block_time=0.16, crossfade_time=0.04,
+                      extra_time=0.64, f0method="pm", clock=clk)
+    s.test_clock = clk
+    return s
 
 
 def tone(hz, sr=16000, dur=1.0):
@@ -116,8 +131,13 @@ def test_underrun_accounting_and_recovery(sched):
     while sched.ready():
         sched.tick()
     assert sched.stats()["underruns"][s] == 0
-    # starve: force a tick with an empty queue (scheduler keeps cadence
-    # when any OTHER slot is ready; emulate by ticking directly)
+    # starve: a slot is only silence-fed once it is a full block_time
+    # past its last feed (phase-offset clients must not starve each
+    # other), so advance the clock past the block period, then force the
+    # tick that another slot's readiness would normally trigger
+    assert not sched.ready()  # not overdue yet -> no underrun pressure
+    sched.test_clock.t += sched.block_time + 0.01
+    assert sched.ready()  # overdue now
     sched.tick()
     st = sched.stats()
     assert st["underruns"][s] == 1

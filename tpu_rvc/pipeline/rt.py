@@ -356,6 +356,7 @@ class StreamSession:
         # single-dispatch fused path (device-resident state); host fallback
         # covers noise-reduce / rms-mix / other-f0 configurations
         self._fused = None
+        self._fused_saved = None  # kept when a slider disables the fast path
         if (fused and engine.if_f0 in (0, 1)
                 and f0method in ("pm", "rmvpe", "fcpe")
                 and not input_noise_reduce and not output_noise_reduce
@@ -380,20 +381,48 @@ class StreamSession:
         self.engine.set_key(key)  # fused graph reads it per dispatch
 
     def set_formant(self, formant: float) -> None:
+        # formant shift changes return_length2: the fused graph bakes it
+        # in, so the host block path (which rebuilds its graph per formant
+        # factor, reference rtrvc.py:249-259) takes over while the shift
+        # is non-zero; the fast path is restored when it returns to 0.
         self.engine.set_formant(formant)
-        if formant != 0 and self._fused is not None:
-            # formant shift changes return_length2: the fused graph bakes
-            # it in, so fall back to the host block path (which rebuilds
-            # its graph per formant factor, reference rtrvc.py:249-259)
-            self._fused = None
+        self._update_fused_eligibility()
 
     def set_index_rate(self, rate: float) -> None:
         self.engine.set_index_rate(rate)
 
     def set_rms_mix_rate(self, rate: float) -> None:
-        self.rms_mix_rate = float(rate)
-        if rate < 1 and self._fused is not None:
-            self._fused = None  # RMS mix is a host-path feature
+        self.rms_mix_rate = float(rate)  # RMS mix is a host-path feature
+        self._update_fused_eligibility()
+
+    def _update_fused_eligibility(self) -> None:
+        """Park/restore the fused single-dispatch graph as sliders leave/
+        re-enter the fused-eligible configuration (returning a slider to
+        neutral must not permanently strand the session on the
+        several-round-trips-per-block host path)."""
+        eligible = (self.engine.formant_shift == 0
+                    and self.rms_mix_rate >= 1.0)
+        if not eligible:
+            if self._fused is not None:
+                self._fused_saved = self._fused
+                self._fused = None
+        elif self._fused is None and self._fused_saved is not None:
+            self._fused = self._fused_saved
+            self._fused_saved = None
+            # re-seed the device window from the host rolling buffer
+            # (kept fresh by feed() on both paths); pitch caches refill
+            # over the next ~p_len frames, the same warmup a fresh
+            # session has
+            state = self._fused.init_state()
+            wav16 = np.asarray(resample_poly(
+                jnp.asarray(self.input_wav[None]), self.sr, SR))[0]
+            L = int(state["wav16"].shape[0])
+            w = np.zeros(L, np.float32)
+            n = min(L, len(wav16))
+            if n:
+                w[-n:] = wav16[-n:]
+            state["wav16"] = jnp.asarray(w)
+            self._fused_state = state
 
     def feed(self, block: np.ndarray) -> np.ndarray:
         """Process one block (len == block_frame at stream sr)."""
@@ -557,12 +586,12 @@ class FusedStreamGraph:
             self._jit = jax.jit(self._run, donate_argnums=(3,))
         else:
             # multi-stream serving: one dispatch advances every session
-            # (state, fresh segment, and noise key carry a stream axis;
-            # weights and the retrieval index are shared)
+            # (state, fresh segment, noise key, and fed mask carry a
+            # stream axis; weights and the retrieval index are shared)
             self._jit = jax.jit(
                 jax.vmap(self._run,
                          in_axes=(None, None, None, 0, 0, None, None, None,
-                                  None, None, 0)),
+                                  None, None, 0, 0)),
                 donate_argnums=(3,))
         self._step = 0
 
@@ -579,7 +608,13 @@ class FusedStreamGraph:
         return state
 
     def _run(self, hubert_vars, synth_vars, rmvpe_vars, state, seg48,
-             index_vecs, index_sq, index_rate, up_key, protect, noise_key):
+             index_vecs, index_sq, index_rate, up_key, protect, noise_key,
+             fed=True):
+        # fed: per-stream bool — when False the stream was not given a new
+        # block this tick, so its rolling state must NOT advance (the
+        # batched dispatch has a static shape, so skipped slots still
+        # compute; their state is reverted by the select at the end and
+        # their output is discarded by the caller).
         eng = self.engine
         # 1. resample fresh segment to 16k, roll window state
         seg16 = resample_poly(seg48[None], self.stream_sr, SR)[0]
@@ -664,9 +699,11 @@ class FusedStreamGraph:
             out = resample_poly(out[None], eng.tgt_sr, self.stream_sr)[0]
         new_state = {"wav16": wav16, "cache_pitch": cache_pitch,
                      "cache_pitchf": cache_pitchf}
+        new_state = jax.tree.map(
+            lambda n, o: jnp.where(fed, n, o), new_state, state)
         return out, new_state
 
-    def __call__(self, state, seg48: np.ndarray):
+    def __call__(self, state, seg48: np.ndarray, fed=None):
         eng = self.engine
         if eng.index is not None and eng.index_rate > 0:
             vecs, sq = eng.index.device_arrays()
@@ -677,15 +714,18 @@ class FusedStreamGraph:
         self._step += 1
         if self.n_streams == 1:
             key = jax.random.PRNGKey(self._step)
+            fed_arg = jnp.asarray(True if fed is None else bool(fed))
         else:
             key = jax.vmap(jax.random.fold_in, (None, 0))(
                 jax.random.PRNGKey(self._step),
                 jnp.arange(self.n_streams, dtype=jnp.uint32))
+            fed_arg = (jnp.ones(self.n_streams, bool) if fed is None
+                       else jnp.asarray(fed, bool))
         out, new_state = self._jit(
             eng.hubert_vars, eng.synth_vars, self._rmvpe_vars, state,
             jnp.asarray(seg48),
             vecs, sq, jnp.asarray(eng.index_rate, jnp.float32),
             jnp.asarray(float(eng.f0_up_key)),
             jnp.asarray(self.protect, jnp.float32),
-            key)
+            key, fed_arg)
         return np.asarray(out), new_state

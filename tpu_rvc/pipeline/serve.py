@@ -12,10 +12,16 @@ serving surface:
   SlotScheduler — owns a FusedStreamGraph(n_streams=N) plus per-slot
     host state (rolling input window, SOLA seam buffer, queues).  Clients
     attach() to a slot, submit() arbitrary-sized PCM, and collect()
-    converted PCM; tick() pops one block per slot (silence + an underrun
-    count for starved slots), runs the single batched dispatch, and
-    SOLA-merges each slot's seam independently (gui.py:1058-1090 math
-    via pipeline.rt.sola_merge).
+    converted PCM; tick() pops one block per slot that is ready (or
+    overdue — silence + an underrun count), runs the single batched
+    dispatch, and SOLA-merges each slot's seam independently
+    (gui.py:1058-1090 math via pipeline.rt.sola_merge).
+
+Threading contract: socket threads call submit/collect/attach/detach
+under the scheduler lock; ONE scheduler thread calls tick().  The device
+state is owned exclusively by the tick thread — attach() only marks a
+slot for reset, and tick() applies it before the next dispatch (the
+dispatch donates the state buffers, so no other thread may touch them).
 
 The TCP front end lives in apps/serve.py.  Everything here is
 hardware-free testable (tests/test_serve.py drives it on CPU).
@@ -24,6 +30,7 @@ hardware-free testable (tests/test_serve.py drives it on CPU).
 from __future__ import annotations
 
 import threading
+import time
 from typing import Dict, List, Optional
 
 import jax
@@ -32,23 +39,70 @@ import numpy as np
 from tpu_rvc.pipeline.rt import FusedStreamGraph, RealtimeVC, sola_merge
 
 
+class _ChunkQueue:
+    """Append-only list of PCM chunks with O(1) append and O(popped)
+    pop — avoids the O(n^2) full-buffer reallocation a np.concatenate
+    per small submit would cost under the shared scheduler lock."""
+
+    def __init__(self):
+        self._chunks: List[np.ndarray] = []
+        self._len = 0
+
+    def __len__(self) -> int:
+        return self._len
+
+    def push(self, pcm: np.ndarray) -> None:
+        if len(pcm):
+            self._chunks.append(pcm)
+            self._len += len(pcm)
+
+    def pop(self, n: Optional[int] = None) -> np.ndarray:
+        """Pop up to n samples (all queued when n is None)."""
+        if n is None or n >= self._len:
+            out = (np.concatenate(self._chunks) if self._chunks
+                   else np.zeros(0, np.float32))
+            self._chunks, self._len = [], 0
+            return out
+        taken, got = [], 0
+        while got < n:
+            c = self._chunks[0]
+            need = n - got
+            if len(c) <= need:
+                taken.append(self._chunks.pop(0))
+                got += len(c)
+            else:
+                taken.append(c[:need])
+                self._chunks[0] = c[need:]
+                got = n
+        self._len -= n
+        return np.concatenate(taken)
+
+    def clear(self) -> None:
+        self._chunks, self._len = [], 0
+
+
 class SlotScheduler:
     """Fixed-capacity batched streaming server core.
 
     All slots share one engine (weights, retrieval index, conversion
     settings — the BatchedRealtimeVC contract); pitch caches, rolling
-    windows, and SOLA seams are per-slot.  Thread-safe: socket threads
-    call submit/collect/attach/detach while one scheduler thread calls
-    tick().
+    windows, and SOLA seams are per-slot.
     """
 
     def __init__(self, engine: RealtimeVC, n_slots: int,
                  samplerate: int = 48000, block_time: float = 0.25,
                  crossfade_time: float = 0.05, extra_time: float = 2.5,
-                 f0method: str = "rmvpe", protect: float = 1.0):
+                 f0method: str = "rmvpe", protect: float = 1.0,
+                 clock=time.monotonic):
+        # clock: injectable monotonic time source — the underrun cadence
+        # ("a started slot is silence-fed once a full block_time past its
+        # last feed") compares clock() readings; tests substitute a
+        # hand-advanced clock so slow CPU ticks can't fake starvation
+        self._clock = clock
         self.engine = engine
         self.n_slots = int(n_slots)
         self.sr = samplerate
+        self.block_time = float(block_time)
         zc = samplerate // 100
         self.zc = zc
         self.block_frame = int(round(block_time * samplerate / zc)) * zc
@@ -79,38 +133,41 @@ class SlotScheduler:
         # a slot only joins the underrun accounting after its first
         # submit(); attach->first-block gaps are not starvation
         self.started = [False] * self.n_slots
+        # device-state resets requested by attach(), applied by tick()
+        # (the tick thread owns self.state — the dispatch donates it)
+        self._pending_reset: set = set()
         self.input_wav = np.zeros((self.n_slots, total), np.float32)
         self.sola_buffers = np.zeros(
             (self.n_slots, self.sola_buffer_frame), np.float32)
-        self._in_buf: List[np.ndarray] = [
-            np.zeros(0, np.float32) for _ in range(self.n_slots)]
-        self._out_buf: List[np.ndarray] = [
-            np.zeros(0, np.float32) for _ in range(self.n_slots)]
+        self._in_buf = [_ChunkQueue() for _ in range(self.n_slots)]
+        self._out_buf = [_ChunkQueue() for _ in range(self.n_slots)]
+        # per-slot block cadence: a started slot is only silence-fed
+        # (underrun) once it is a full block_time past its last feed, so
+        # phase-offset clients don't starve each other when another
+        # slot's readiness triggers a tick (a lockstep harness that
+        # always submits before tick never hits this path)
+        self._last_fed = [0.0] * self.n_slots
         self.underruns = [0] * self.n_slots
         self.blocks = [0] * self.n_slots
         self.ticks = 0
 
     # ---- client-thread side ------------------------------------------
     def attach(self) -> int:
-        """Claim a free slot; resets its device and host state.
-        Raises RuntimeError when the server is full."""
+        """Claim a free slot; resets its host state and schedules the
+        device-state reset for the next tick.  Raises RuntimeError when
+        the server is full."""
         with self._lock:
             for s in range(self.n_slots):
                 if not self.active[s]:
                     self.active[s] = True
                     self.started[s] = False
-                    self._in_buf[s] = np.zeros(0, np.float32)
-                    self._out_buf[s] = np.zeros(0, np.float32)
+                    self._in_buf[s].clear()
+                    self._out_buf[s].clear()
                     self.input_wav[s] = 0.0
                     self.sola_buffers[s] = 0.0
                     self.underruns[s] = 0
                     self.blocks[s] = 0
-                    if self.n_slots > 1:
-                        self.state = jax.tree.map(
-                            lambda x: x.at[s].set(0), self.state)
-                    else:
-                        self.state = jax.tree.map(
-                            lambda x: x * 0, self.state)
+                    self._pending_reset.add(s)
                     return s
         raise RuntimeError(f"server full ({self.n_slots} slots)")
 
@@ -122,64 +179,87 @@ class SlotScheduler:
         """Queue input PCM (float32 mono at `samplerate`, any length)."""
         pcm = np.asarray(pcm, np.float32).reshape(-1)
         with self._lock:
-            self._in_buf[slot] = np.concatenate([self._in_buf[slot], pcm])
-            self.started[slot] = True
+            self._in_buf[slot].push(pcm)
+            if not self.started[slot]:
+                self.started[slot] = True
+                self._last_fed[slot] = self._clock()
 
     def collect(self, slot: int, max_samples: Optional[int] = None
                 ) -> np.ndarray:
         """Pop converted PCM queued for this slot (possibly empty)."""
         with self._lock:
-            out = self._out_buf[slot]
-            if max_samples is not None and len(out) > max_samples:
-                self._out_buf[slot] = out[max_samples:]
-                return out[:max_samples]
-            self._out_buf[slot] = np.zeros(0, np.float32)
-            return out
+            return self._out_buf[slot].pop(max_samples)
 
     def pending(self, slot: int) -> int:
         with self._lock:
             return len(self._in_buf[slot])
 
     def ready(self) -> bool:
-        """True when at least one active slot has a full block queued."""
+        """True when at least one active slot has a full block queued or
+        is overdue for its silence block."""
+        now = self._clock()
         with self._lock:
-            return any(self.active[s] and
-                       len(self._in_buf[s]) >= self.block_frame
-                       for s in range(self.n_slots))
+            return any(
+                self.active[s] and
+                (len(self._in_buf[s]) >= self.block_frame
+                 or (self.started[s]
+                     and now - self._last_fed[s] >= self.block_time))
+                for s in range(self.n_slots))
 
     # ---- scheduler-thread side ---------------------------------------
     def tick(self) -> Dict[str, object]:
-        """Advance every session by one block with a single dispatch.
+        """Advance every due session by one block with a single dispatch.
 
-        Active slots with a queued block consume it; starved active
-        slots get silence and an underrun count (the stream must keep
-        realtime cadence — reference gui.py:1099-1126 underrun
-        behavior).  Idle slots ride along as zeros (the batch shape is
-        static)."""
+        A slot consumes a queued block when it has one; a started slot
+        that is a full block_time past its last feed gets silence and an
+        underrun count (the stream must keep realtime cadence —
+        reference gui.py:1099-1126 underrun behavior).  Slots that are
+        idle or simply not due yet ride along as zeros with their device
+        state frozen (the batch shape is static)."""
         bf = self.block_frame
+        now = self._clock()
         with self._lock:
+            resets = sorted(self._pending_reset)
+            self._pending_reset.clear()
             fed = []
             for s in range(self.n_slots):
                 if self.active[s] and len(self._in_buf[s]) >= bf:
-                    block = self._in_buf[s][:bf]
-                    self._in_buf[s] = self._in_buf[s][bf:]
+                    block = self._in_buf[s].pop(bf)
+                    self._last_fed[s] = now
                     fed.append(True)
-                elif self.active[s] and self.started[s]:
+                elif (self.active[s] and self.started[s]
+                      and now - self._last_fed[s] >= self.block_time):
                     block = np.zeros(bf, np.float32)
                     self.underruns[s] += 1
+                    self._last_fed[s] = now
                     fed.append(True)
                 else:
-                    block = np.zeros(bf, np.float32)
                     fed.append(False)
+                    continue
                 self.input_wav[s, :-bf] = self.input_wav[s, bf:]
                 self.input_wav[s, -bf:] = block
-            seg = self.input_wav[:, -bf - 2 * self.zc:]
+            # copy: the dispatch below runs unlocked and must not see
+            # a concurrent attach() zeroing a row
+            seg = self.input_wav[:, -bf - 2 * self.zc:].copy()
 
+        # device state is touched ONLY here, on the tick thread
+        if resets:
+            if self.n_slots == 1:
+                self.state = jax.tree.map(lambda x: x * 0, self.state)
+            else:
+                idx = np.asarray(resets)
+                self.state = jax.tree.map(
+                    lambda x: x.at[idx].set(0), self.state)
+        if not any(fed):  # nothing due — no dispatch
+            with self._lock:
+                self.ticks += 1
+                return self.stats_locked()
         if self.n_slots == 1:
-            out, self.state = self.fused(self.state, seg[0])
+            out, self.state = self.fused(self.state, seg[0], fed=fed[0])
             out = out[None]
         else:
-            out, self.state = self.fused(self.state, seg)
+            out, self.state = self.fused(self.state, seg,
+                                         fed=np.asarray(fed))
 
         with self._lock:
             for s in range(self.n_slots):
@@ -189,8 +269,7 @@ class SlotScheduler:
                     out[s], self.sola_buffers[s], self.fade_in,
                     self.fade_out, bf, self.sola_buffer_frame,
                     self.sola_search_frame)
-                self._out_buf[s] = np.concatenate(
-                    [self._out_buf[s], merged])
+                self._out_buf[s].push(merged)
                 self.blocks[s] += 1
             self.ticks += 1
             return self.stats_locked()
