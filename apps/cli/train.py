@@ -57,7 +57,7 @@ def cmd_train(args):
         args.exp_dir, hp, total_epochs=args.epochs, if_f0=bool(args.if_f0),
         save_every_epoch=args.save_every, pretrain_g=args.pretrain_g,
         pretrain_d=args.pretrain_d, name=args.name, author=args.author,
-        log_fn=print)
+        cache_in_hbm=args.cache_in_hbm, log_fn=print)
     print("final:", metrics)
 
 
@@ -101,6 +101,9 @@ def main():
     st.add_argument("--pretrain-d", default="")
     st.add_argument("--name", default="model")
     st.add_argument("--author", default="")
+    st.add_argument("--cache-in-hbm", action="store_true",
+                    help="keep all batches device-resident after epoch 1 "
+                         "(reference if_cache_data_in_gpu, train.py:425-501)")
     st.set_defaults(fn=cmd_train)
 
     args = p.parse_args()

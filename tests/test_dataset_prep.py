@@ -117,11 +117,19 @@ def test_tiny_finetune_on_mute(tmp_path):
             upsample_kernel_sizes=(20, 96), gin_channels=16, spk_embed_dim=4),
     )
     from tpu_rvc.train.loop import run_training
-    metrics = run_training(str(exp), hp, total_epochs=1, if_f0=True,
-                           save_every_epoch=1, name="mute_test")
+    # 2 epochs with cache_in_hbm: epoch 1 builds the device-resident batch
+    # cache, epoch 2 replays it reshuffled (reference if_cache_data_in_gpu,
+    # train.py:425-501) — same compiled step, so this costs one extra step.
+    logs = []
+    metrics = run_training(str(exp), hp, total_epochs=2, if_f0=True,
+                           save_every_epoch=1, name="mute_test",
+                           cache_in_hbm=True,
+                           log_fn=lambda s: logs.append(str(s)))
     assert np.isfinite(metrics["loss_gen_all"])
+    assert any("cached" in s and "HBM" in s for s in logs), logs
     assert (exp / "mute_test.pth").exists()
     assert (exp / "G_1.pth").exists()
+    assert (exp / "G_2.pth").exists()
     # the exported small model loads back through the standard loader
     from tpu_rvc.models.loader import load_synthesizer
     mod, variables, meta = load_synthesizer(str(exp / "mute_test.pth"))

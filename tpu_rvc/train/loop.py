@@ -103,8 +103,18 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
                  save_every_epoch: int = 5, batch_size: Optional[int] = None,
                  pretrain_g: str = "", pretrain_d: str = "",
                  name: str = "model", author: str = "",
+                 cache_in_hbm: bool = False,
                  log_fn=None, tensorboard: bool = True) -> Dict[str, Any]:
-    """Fine-tune on a prepared experiment dir; returns final metrics."""
+    """Fine-tune on a prepared experiment dir; returns final metrics.
+
+    cache_in_hbm: after the first epoch, keep every (already sharded)
+    batch resident on device and only reshuffle the batch ORDER per epoch
+    — the role of the reference's if_cache_data_in_gpu
+    (infer/modules/train/train.py:425-501), which likewise freezes batch
+    composition once cached.  RVC fine-tune sets are tiny (~10 min of
+    audio ≈ 40 MB of features), so HBM residency removes the per-step
+    host->device transfer entirely.
+    """
     log = log_fn or (lambda s: logger.info(s))
     tb = None
     if tensorboard:
@@ -170,12 +180,23 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
     state = jax.device_put(state, repl)
 
     metrics = {}
+    cache: Optional[list] = [] if cache_in_hbm else None
+    cache_ready = False
     for epoch in range(start_epoch, total_epochs):
         t0 = time.time()
         n_batches = 0
-        for batch in batcher.epoch(epoch):
-            batch = {k: jax.device_put(jnp.asarray(v), data_sh)
-                     for k, v in batch.items()}
+        if cache_ready:
+            order = np.random.default_rng(
+                hp.train.seed + epoch).permutation(len(cache))
+            epoch_batches = (cache[i] for i in order)
+        else:
+            epoch_batches = batcher.epoch(epoch)
+        for batch in epoch_batches:
+            if not cache_ready:
+                batch = {k: jax.device_put(jnp.asarray(v), data_sh)
+                         for k, v in batch.items()}
+                if cache is not None:
+                    cache.append(batch)
             state, metrics = step_fn(state, batch,
                                      jax.random.PRNGKey(hp.train.seed))
             n_batches += 1
@@ -195,6 +216,10 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
                     tb.add_image("slice/mel_org", mel_image(mel_org), step_i)
                 if mel_gen is not None:
                     tb.add_image("slice/mel_gen", mel_image(mel_gen), step_i)
+        if cache is not None and not cache_ready and cache:
+            cache_ready = True
+            log(f"cached {len(cache)} batches in HBM "
+                "(batch composition frozen, order reshuffles per epoch)")
         log(f"epoch {epoch + 1}/{total_epochs}: "
             f"{n_batches} steps in {time.time() - t0:.1f}s, "
             + ", ".join(f"{k}={float(v):.3f}" for k, v in metrics.items()))
