@@ -152,6 +152,46 @@ def test_underrun_accounting_and_recovery(sched):
     sched.detach(s)
 
 
+def test_chunk_queue_pop_edge_cases():
+    from tpu_rvc.pipeline.serve import _ChunkQueue
+    q = _ChunkQueue()
+    assert len(q.pop(0)) == 0 and len(q.pop()) == 0
+    q.push(np.arange(5, dtype=np.float32))
+    q.push(np.arange(5, 9, dtype=np.float32))
+    assert len(q.pop(0)) == 0 and len(q) == 9  # pop(0) is a no-op
+    np.testing.assert_array_equal(q.pop(7), np.arange(7, dtype=np.float32))
+    np.testing.assert_array_equal(q.pop(), np.asarray([7.0, 8.0]))
+
+
+def test_reattach_during_dispatch_gets_no_foreign_audio(sched):
+    """A detach+attach while the (unlocked) device dispatch is in flight
+    must NOT deliver the previous occupant's converted audio to the new
+    client (the generation check in tick)."""
+    bf = sched.block_frame
+    s = sched.attach()
+    sched.submit(s, tone(220.0, dur=bf / 16000))
+    orig = sched.fused
+    took_over = []
+
+    def hijack(state, seg, fed=None):
+        out, st = orig(state, seg, fed=fed)
+        # simulate the race: the old client leaves and a new one claims
+        # the same slot while the dispatch is still in flight
+        sched.detach(s)
+        took_over.append(sched.attach())
+        return out, st
+
+    sched.fused = hijack
+    try:
+        sched.tick()
+    finally:
+        sched.fused = orig
+    assert took_over == [s]  # same slot was reclaimed
+    assert len(sched.collect(s)) == 0  # new occupant got NO foreign audio
+    assert sched.stats()["blocks"][s] == 0
+    sched.detach(s)
+
+
 def test_attach_detach_capacity(sched):
     a = sched.attach()
     b = sched.attach()

@@ -407,22 +407,26 @@ class StreamSession:
                 self._fused_saved = self._fused
                 self._fused = None
         elif self._fused is None and self._fused_saved is not None:
-            self._fused = self._fused_saved
-            self._fused_saved = None
+            restored = self._fused_saved
             # re-seed the device window from the host rolling buffer
             # (kept fresh by feed() on both paths); pitch caches refill
             # over the next ~p_len frames, the same warmup a fresh
-            # session has
-            state = self._fused.init_state()
-            wav16 = np.asarray(resample_poly(
-                jnp.asarray(self.input_wav[None]), self.sr, SR))[0]
+            # session has.  Stays on device (one small H2D, no fetch).
+            state = restored.init_state()
+            wav16 = resample_poly(
+                jnp.asarray(self.input_wav[None]), self.sr, SR)[0]
             L = int(state["wav16"].shape[0])
-            w = np.zeros(L, np.float32)
-            n = min(L, len(wav16))
+            n = min(L, int(wav16.shape[0]))
+            w = jnp.zeros(L, jnp.float32)
             if n:
-                w[-n:] = wav16[-n:]
-            state["wav16"] = jnp.asarray(w)
+                w = w.at[-n:].set(wav16[-n:])
+            state["wav16"] = w
+            # publish state BEFORE the graph: a concurrent feed() that
+            # sees _fused non-None must never pair it with the stale
+            # pre-park state
             self._fused_state = state
+            self._fused_saved = None
+            self._fused = restored
 
     def feed(self, block: np.ndarray) -> np.ndarray:
         """Process one block (len == block_frame at stream sr)."""

@@ -31,7 +31,8 @@ from __future__ import annotations
 
 import threading
 import time
-from typing import Dict, List, Optional
+from collections import deque
+from typing import Deque, Dict, List, Optional
 
 import jax
 import numpy as np
@@ -40,12 +41,13 @@ from tpu_rvc.pipeline.rt import FusedStreamGraph, RealtimeVC, sola_merge
 
 
 class _ChunkQueue:
-    """Append-only list of PCM chunks with O(1) append and O(popped)
-    pop — avoids the O(n^2) full-buffer reallocation a np.concatenate
-    per small submit would cost under the shared scheduler lock."""
+    """Queue of PCM chunks with O(1) append/popleft and O(popped)
+    assembly — avoids the O(n^2) full-buffer reallocation a
+    np.concatenate per small submit would cost under the shared
+    scheduler lock."""
 
     def __init__(self):
-        self._chunks: List[np.ndarray] = []
+        self._chunks: Deque[np.ndarray] = deque()
         self._len = 0
 
     def __len__(self) -> int:
@@ -58,17 +60,19 @@ class _ChunkQueue:
 
     def pop(self, n: Optional[int] = None) -> np.ndarray:
         """Pop up to n samples (all queued when n is None)."""
+        if n is not None and n <= 0:
+            return np.zeros(0, np.float32)
         if n is None or n >= self._len:
             out = (np.concatenate(self._chunks) if self._chunks
                    else np.zeros(0, np.float32))
-            self._chunks, self._len = [], 0
+            self._chunks, self._len = deque(), 0
             return out
         taken, got = [], 0
         while got < n:
             c = self._chunks[0]
             need = n - got
             if len(c) <= need:
-                taken.append(self._chunks.pop(0))
+                taken.append(self._chunks.popleft())
                 got += len(c)
             else:
                 taken.append(c[:need])
@@ -78,7 +82,7 @@ class _ChunkQueue:
         return np.concatenate(taken)
 
     def clear(self) -> None:
-        self._chunks, self._len = [], 0
+        self._chunks, self._len = deque(), 0
 
 
 class SlotScheduler:
@@ -136,6 +140,11 @@ class SlotScheduler:
         # device-state resets requested by attach(), applied by tick()
         # (the tick thread owns self.state — the dispatch donates it)
         self._pending_reset: set = set()
+        # bumped by attach(): a dispatch's output is delivered only to
+        # the generation that was attached when its input was consumed,
+        # so a detach+attach during the (unlocked) dispatch can never
+        # hand the previous client's audio to the new one
+        self._gen = [0] * self.n_slots
         self.input_wav = np.zeros((self.n_slots, total), np.float32)
         self.sola_buffers = np.zeros(
             (self.n_slots, self.sola_buffer_frame), np.float32)
@@ -161,6 +170,7 @@ class SlotScheduler:
                 if not self.active[s]:
                     self.active[s] = True
                     self.started[s] = False
+                    self._gen[s] += 1
                     self._in_buf[s].clear()
                     self._out_buf[s].clear()
                     self.input_wav[s] = 0.0
@@ -241,6 +251,7 @@ class SlotScheduler:
             # copy: the dispatch below runs unlocked and must not see
             # a concurrent attach() zeroing a row
             seg = self.input_wav[:, -bf - 2 * self.zc:].copy()
+            gen = list(self._gen)
 
         # device state is touched ONLY here, on the tick thread
         if resets:
@@ -263,7 +274,10 @@ class SlotScheduler:
 
         with self._lock:
             for s in range(self.n_slots):
-                if not (self.active[s] and fed[s]):
+                # gen check: a slot re-attached during the dispatch must
+                # not receive the previous occupant's audio
+                if not (self.active[s] and fed[s]
+                        and self._gen[s] == gen[s]):
                     continue
                 merged, self.sola_buffers[s] = sola_merge(
                     out[s], self.sola_buffers[s], self.fade_in,
