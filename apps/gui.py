@@ -31,8 +31,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-CONFIG_PATH = os.environ.get("TPU_RVC_GUI_CONFIG",
-                             os.path.join("configs", "inuse", "gui.json"))
+# anchored at the repo root (not the cwd) so persisted settings
+# round-trip regardless of the launch directory
+CONFIG_PATH = os.environ.get(
+    "TPU_RVC_GUI_CONFIG",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                 "configs", "inuse", "gui.json"))
 
 
 def build_session(args):

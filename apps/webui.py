@@ -125,9 +125,16 @@ def build_app(gr, api, *, faq_path: str | None = None):
         elif wav_files:
             paths = [getattr(f, "name", f) for f in wav_files]
         logs = []
-        model_path = os.path.join(api.uvr5_root, f"{model_name}.pth")
-        if not os.path.exists(model_path):
-            model_path = model_name
+        if "onnx" in model_name:
+            # MDX-Net entries are listed without a .pth suffix and
+            # resolve to a directory holding the onnx graph (reference
+            # uvr5/modules.py:27 routes onnx_dereverb_By_FoxJoy to
+            # MDXNetDereverb)
+            model_path = os.path.join(api.uvr5_root, model_name)
+        else:
+            model_path = os.path.join(api.uvr5_root, f"{model_name}.pth")
+            if not os.path.exists(model_path):
+                model_path = os.path.join(api.uvr5_root, model_name)
         for p in paths:
             try:
                 r = api.uvr_convert(model_path, p, ins_root=opt_ins,

@@ -364,8 +364,10 @@ def test_live_loop_threaded_model_loop(engine):
 
 
 def test_live_loop_threshold_gate(engine):
-    """Input dB gate (reference gui.py:950-961): blocks below the
-    threshold bypass conversion and emit silence."""
+    """Input dB gate (reference gui.py:950-963): sub-threshold 10 ms
+    frames are ZEROED but the block is still fed — the rolling windows
+    and SOLA seam keep advancing across silence (the reference zeroes
+    samples; it does not skip the pipeline)."""
     from tpu_rvc.pipeline.live import LiveLoop
 
     sess = StreamSession(engine, samplerate=16000, block_time=0.16,
@@ -373,15 +375,27 @@ def test_live_loop_threshold_gate(engine):
                          rms_mix_rate=1.0)
     loop = LiveLoop(sess, threshold_db=-20.0)
     bf = loop.block_frame
+    zc = sess.zc
+    # half loud / half quiet block: only the quiet frames are muted
+    blk = tone(dur=1.0, sr=16000)[:bf].copy()
+    blk[bf // 2:] = 1e-4
+    g = loop._gate(blk.copy())
+    np.testing.assert_array_equal(g[: bf // 4], blk[: bf // 4])  # loud kept
+    assert np.all(g[-bf // 4:] == 0.0)  # quiet tail muted
+    # the gate has ~3 frames of release (40 ms RMS window history)
+    assert np.any(g[bf // 2: bf // 2 + 3 * zc] != 0.0)
+    # gated blocks still FEED the session: window advances, output flows
     quiet = np.full(bf, 1e-4, np.float32)
     outdata = np.empty(bf, np.float32)
     loop.callback(quiet, outdata)
     assert loop.process_available() == 1
-    assert np.all(loop.out_ring.read(bf) == 0.0)
-    # a loud block goes through the model
+    assert loop.blocks_processed == 1
+    assert np.all(sess.input_wav[-bf:] == 0.0)  # muted frames were fed
+    # a loud block goes through the model unmuted
     loop.callback(tone(dur=1.0, sr=16000)[:bf], outdata)
     loop.process_available()
     assert loop.blocks_processed == 2
+    assert np.abs(sess.input_wav[-bf:]).max() > 0.1
 
 
 def test_live_config_persistence(tmp_path):

@@ -122,6 +122,9 @@ class LiveLoop:
         self.in_ring = NativeRingBuffer(bf * ring_blocks)
         self.out_ring = NativeRingBuffer(bf * ring_blocks)
         self.threshold_db = threshold_db
+        # rolling 40 ms history for the per-frame RMS gate (reference
+        # gui.py:950-951 rms_buffer)
+        self._rms_buffer = np.zeros(4 * session.zc, np.float32)
         self.blocks_processed = 0
         self._lock = threading.Lock()
 
@@ -142,20 +145,38 @@ class LiveLoop:
             outdata[:] = out
 
     # ---- model-thread side ----
+    def _gate(self, block: np.ndarray) -> np.ndarray:
+        """Zero sub-threshold 10 ms frames (reference gui.py:950-963).
+
+        The gate MUTES quiet frames but the block is still fed to the
+        session, so the rolling context windows and the SOLA seam keep
+        advancing across silence — skipping the pipeline would butt
+        pre-pause context against resumed speech and glitch the seam.
+        Each frame's decision uses a 40 ms RMS window ending at the
+        frame's end (rolling history across blocks, reference
+        rms_buffer)."""
+        zc = self.session.zc
+        ext = np.concatenate([self._rms_buffer, block])
+        self._rms_buffer = ext[-4 * zc:].copy()
+        nf = len(block) // zc
+        win = np.lib.stride_tricks.sliding_window_view(ext, 4 * zc)
+        frames = win[zc::zc][:nf]  # frame i: ext[(i+1)*zc : (i+5)*zc]
+        rms = np.sqrt(np.mean(frames.astype(np.float64) ** 2, axis=1))
+        gated = 20 * np.log10(rms + 1e-12) < self.threshold_db
+        if not gated.any():
+            return block
+        out = block.copy()
+        mask = np.repeat(gated, zc)
+        out[: len(mask)][mask] = 0.0
+        return out
+
     def process_available(self) -> int:
         """Convert every complete queued block; returns blocks done."""
         n = 0
         while self.in_ring.readable() >= self.block_frame:
             block = self.in_ring.read(self.block_frame)
             if self.threshold_db is not None:
-                # dB gate (reference gui.py:950-961): frames below the
-                # threshold bypass conversion with silence
-                rms = float(np.sqrt(np.mean(block ** 2)) + 1e-12)
-                if 20 * np.log10(rms) < self.threshold_db:
-                    self.out_ring.write(np.zeros_like(block))
-                    self.blocks_processed += 1
-                    n += 1
-                    continue
+                block = self._gate(block)
             with self._lock:
                 out = self.session.feed(block)
             self.out_ring.write(np.asarray(out, np.float32))

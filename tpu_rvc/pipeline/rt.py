@@ -300,6 +300,35 @@ def phase_vocoder(a: np.ndarray, b: np.ndarray, fade_out: np.ndarray,
             + np.sum(absab * np.cos(w * t + phia), -1) * window / n)
 
 
+class BlockGeometry:
+    """Shared frame geometry of the streaming loops (reference
+    gui.py:838-876 window math): ONE definition used by both
+    StreamSession (single stream) and pipeline.serve.SlotScheduler
+    (multi-slot server), so the seam math can never desynchronize
+    between the two surfaces."""
+
+    def __init__(self, samplerate: int, block_time: float,
+                 crossfade_time: float, extra_time: float):
+        zc = samplerate // 100
+        self.sr = samplerate
+        self.zc = zc
+        self.block_frame = int(round(block_time * samplerate / zc)) * zc
+        self.crossfade_frame = int(
+            round(crossfade_time * samplerate / zc)) * zc
+        self.sola_buffer_frame = min(self.crossfade_frame, 4 * zc)
+        self.sola_search_frame = zc
+        self.extra_frame = int(round(extra_time * samplerate / zc)) * zc
+        self.total = (self.extra_frame + self.crossfade_frame +
+                      self.sola_search_frame + self.block_frame)
+        self.skip_head = self.extra_frame // zc
+        self.return_length = (self.block_frame + self.sola_buffer_frame +
+                              self.sola_search_frame) // zc
+        fade = np.sin(0.5 * np.pi * np.linspace(
+            0.0, 1.0, self.sola_buffer_frame)) ** 2
+        self.fade_in = fade.astype(np.float32)
+        self.fade_out = (1.0 - fade).astype(np.float32)
+
+
 class StreamSession:
     """Block-by-block streaming loop (gui.py audio_infer math, device-free).
 
@@ -315,32 +344,30 @@ class StreamSession:
                  output_noise_reduce: bool = False,
                  fused: bool = True):
         self.engine = engine
+        geo = BlockGeometry(samplerate, block_time, crossfade_time,
+                            extra_time)
+        self.geometry = geo
         self.sr = samplerate
-        self.zc = samplerate // 100
-        self.block_frame = int(round(block_time * samplerate / self.zc)) * self.zc
-        self.block_frame_16k = 160 * self.block_frame // self.zc
-        self.crossfade_frame = int(
-            round(crossfade_time * samplerate / self.zc)) * self.zc
-        self.sola_buffer_frame = min(self.crossfade_frame, 4 * self.zc)
-        self.sola_search_frame = self.zc
-        self.extra_frame = int(round(extra_time * samplerate / self.zc)) * self.zc
+        self.zc = geo.zc
+        self.block_frame = geo.block_frame
+        self.block_frame_16k = 160 * geo.block_frame // geo.zc
+        self.crossfade_frame = geo.crossfade_frame
+        self.sola_buffer_frame = geo.sola_buffer_frame
+        self.sola_search_frame = geo.sola_search_frame
+        self.extra_frame = geo.extra_frame
         self.f0method = f0method
         self.rms_mix_rate = rms_mix_rate
         self.protect = protect
         self.use_pv = use_phase_vocoder
 
-        total = (self.extra_frame + self.crossfade_frame +
-                 self.sola_search_frame + self.block_frame)
+        total = geo.total
         self.input_wav = np.zeros(total, np.float32)
         self.input_wav_res = np.zeros(160 * total // self.zc, np.float32)
         self.sola_buffer = np.zeros(self.sola_buffer_frame, np.float32)
-        fade = np.sin(0.5 * np.pi * np.linspace(
-            0.0, 1.0, self.sola_buffer_frame)) ** 2
-        self.fade_in_window = fade.astype(np.float32)
-        self.fade_out_window = (1.0 - fade).astype(np.float32)
-        self.skip_head = self.extra_frame // self.zc
-        self.return_length = (self.block_frame + self.sola_buffer_frame +
-                              self.sola_search_frame) // self.zc
+        self.fade_in_window = geo.fade_in
+        self.fade_out_window = geo.fade_out
+        self.skip_head = geo.skip_head
+        self.return_length = geo.return_length
         # engine output sr must match stream sr (gui resampler2 role)
         self._out_resample = (self.engine.tgt_sr != samplerate)
         # spectral-gate denoisers (gui.py I/O_noise_reduce paths)
@@ -406,6 +433,19 @@ class StreamSession:
             if self._fused is not None:
                 self._fused_saved = self._fused
                 self._fused = None
+                # back-fill the host path's 16 kHz window from the
+                # always-fresh stream-rate buffer: while the fused path
+                # ran, feed() returned before maintaining input_wav_res,
+                # and the host graph must not resume on a mostly-zero
+                # context (pitch caches refill over ~p_len frames, the
+                # same warmup as the restore direction)
+                res = np.asarray(resample_poly(
+                    jnp.asarray(self.input_wav[None]), self.sr, SR))[0]
+                L = len(self.input_wav_res)
+                n = min(L, len(res))
+                self.input_wav_res[:] = 0.0
+                if n:
+                    self.input_wav_res[-n:] = res[-n:]
         elif self._fused is None and self._fused_saved is not None:
             restored = self._fused_saved
             # re-seed the device window from the host rolling buffer

@@ -37,7 +37,8 @@ from typing import Deque, Dict, List, Optional
 import jax
 import numpy as np
 
-from tpu_rvc.pipeline.rt import FusedStreamGraph, RealtimeVC, sola_merge
+from tpu_rvc.pipeline.rt import (BlockGeometry, FusedStreamGraph,
+                                 RealtimeVC, sola_merge)
 
 
 class _ChunkQueue:
@@ -105,32 +106,30 @@ class SlotScheduler:
         self._clock = clock
         self.engine = engine
         self.n_slots = int(n_slots)
+        # frame geometry shared with StreamSession (ONE definition of
+        # the gui.py window math — see rt.BlockGeometry)
+        geo = BlockGeometry(samplerate, block_time, crossfade_time,
+                            extra_time)
+        self.geometry = geo
         self.sr = samplerate
         self.block_time = float(block_time)
-        zc = samplerate // 100
+        zc = geo.zc
         self.zc = zc
-        self.block_frame = int(round(block_time * samplerate / zc)) * zc
-        self.crossfade_frame = int(
-            round(crossfade_time * samplerate / zc)) * zc
-        self.sola_buffer_frame = min(self.crossfade_frame, 4 * zc)
-        self.sola_search_frame = zc
-        self.extra_frame = int(round(extra_time * samplerate / zc)) * zc
-        total = (self.extra_frame + self.crossfade_frame +
-                 self.sola_search_frame + self.block_frame)
+        self.block_frame = geo.block_frame
+        self.crossfade_frame = geo.crossfade_frame
+        self.sola_buffer_frame = geo.sola_buffer_frame
+        self.sola_search_frame = geo.sola_search_frame
+        self.extra_frame = geo.extra_frame
+        total = geo.total
         self.total = total
-        skip_head = self.extra_frame // zc
-        return_length = (self.block_frame + self.sola_buffer_frame +
-                         self.sola_search_frame) // zc
         self.fused = FusedStreamGraph(
             engine, stream_sr=samplerate, block_frame=self.block_frame,
-            ctx_frame=2 * zc, total_len=total, skip_head=skip_head,
-            return_length=return_length, f0method=f0method,
+            ctx_frame=2 * zc, total_len=total, skip_head=geo.skip_head,
+            return_length=geo.return_length, f0method=f0method,
             protect=protect, n_streams=self.n_slots)
         self.state = self.fused.init_state()
-        fade = np.sin(0.5 * np.pi * np.linspace(
-            0.0, 1.0, self.sola_buffer_frame)) ** 2
-        self.fade_in = fade.astype(np.float32)
-        self.fade_out = (1.0 - fade).astype(np.float32)
+        self.fade_in = geo.fade_in
+        self.fade_out = geo.fade_out
 
         self._lock = threading.Lock()
         self.active = [False] * self.n_slots
