@@ -86,6 +86,73 @@ def test_preprocess_f0_features(tmp_path):
     assert (b["phone_lengths"] > 0).all()
 
 
+def test_bucketing_never_truncates_and_filelist_filters(tmp_path):
+    """n_frames comes from the wav header (exact), so an item can never
+    land in a bucket smaller than its true collate length (the old
+    file-size estimate under-counted 16-bit PCM by ~1/3 and silently cut
+    the tail of every utterance); rows missing the 2b-f0nsf file are
+    dropped at filelist time (reference web.py:395-400 intersects all
+    four dirs); batches shuffle ACROSS buckets."""
+    from tpu_rvc.audio.io import save_wav
+    from tpu_rvc.train.data import (BucketBatcher, RVCDataset,
+                                    write_filelist, _wav_frames)
+
+    exp = tmp_path / "exp"
+    sr, hop = 48000, 480
+    for d in ("0_gt_wavs", "3_feature768", "2a_f0", "2b-f0nsf"):
+        (exp / d).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    durs = {"a": 3.5, "b": 3.5, "c": 1.0, "d": 1.0, "nof0nsf": 2.0}
+    for name, dur in durs.items():
+        S = int(sr * dur)
+        wav = (0.3 * np.sin(2 * np.pi * 220 * np.arange(S) / sr)
+               ).astype(np.float32)
+        save_wav(str(exp / "0_gt_wavs" / f"{name}.wav"), wav, sr)
+        n16 = int(16000 * dur)
+        nfeat = (n16 - 400) // 320 + 1
+        np.save(exp / "3_feature768" / f"{name}.npy",
+                rng.standard_normal((nfeat, 768)).astype(np.float32))
+        nf0 = S // hop + 1
+        np.save(exp / "2a_f0" / f"{name}.wav.npy",
+                rng.integers(1, 255, nf0).astype(np.int32))
+        if name != "nof0nsf":
+            np.save(exp / "2b-f0nsf" / f"{name}.wav.npy",
+                    rng.uniform(100, 300, nf0).astype(np.float32))
+
+    path = write_filelist(str(exp), "v2", True, 0, "48k")
+    lines = open(path).read().strip().split("\n")
+    # 4 complete rows + 2 mute rows; the row missing 2b-f0nsf is dropped
+    assert len(lines) == 6
+    assert not any("nof0nsf" in ln for ln in lines)
+
+    hp = HParams(version="v2",
+                 data=DataConfig(sampling_rate=sr, filter_length=1024,
+                                 hop_length=hop, win_length=1024,
+                                 n_mel_channels=32))
+    ds = RVCDataset(path, hp, if_f0=True)
+    # header-exact frame counts: estimate >= true collate length for all
+    for i, it in enumerate(ds.items):
+        assert it.n_frames == _wav_frames(it.wav_path, hop)
+        loaded = ds.load(i)
+        assert it.n_frames >= loaded["n_frames"], (
+            f"{it.wav_path}: bucket estimate {it.n_frames} under true "
+            f"{loaded['n_frames']} -> silent truncation")
+    batcher = BucketBatcher(ds, batch_size=1, seed=7)
+    # 3.5 s items (350 frames) must reach bucket 400 uncut
+    for epoch in range(2):
+        for b in batcher.epoch(epoch):
+            n = int(b["phone_lengths"][0])
+            T = b["phone"].shape[1]
+            assert n <= T
+            if T == 400:
+                assert n >= 340  # the old estimate truncated these to 300
+    # cross-bucket shuffle: some epoch interleaves bucket sizes
+    def pattern(e):
+        return [b["phone"].shape[1] for b in batcher.epoch(e)]
+    assert any(p != sorted(p) and p != sorted(p, reverse=True)
+               for p in (pattern(e) for e in range(6)))
+
+
 @pytest.mark.slow
 def test_tiny_finetune_on_mute(tmp_path):
     """1-epoch fine-tune end-to-end through run_training on mute fixtures."""

@@ -106,6 +106,21 @@ def test_gan_train_step_runs_and_learns():
     assert float(metrics["loss_disc"]) < float(m0["loss_disc"]) + 1.0
 
 
+def test_gan_train_step_f0less():
+    """The f0-less variant (reference Synthesizer*NoF0 + TextAudioLoader):
+    batches without pitch keys train through the plain-HiFiGAN decoder."""
+    state, net_g, net_d = create_train_state(TINY_HP, jax.random.PRNGKey(0),
+                                             use_f0=False)
+    assert not net_g.use_f0
+    step = make_train_step(net_g, net_d, TINY_HP, donate=False)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(TINY_HP).items()
+             if k not in ("pitch", "pitchf")}
+    state, metrics = step(state, batch, jax.random.PRNGKey(42))
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss_gen_all"]))
+    assert np.isfinite(float(metrics["loss_disc"]))
+
+
 def test_dp_train_step_over_mesh():
     """Full GAN step sharded over the 8-device virtual CPU mesh."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -55,6 +55,12 @@ def write_filelist(exp_dir: str, version: str, if_f0: bool, spk_id: int,
         if not (f0_dir / f0_name).exists():
             f0_name = f"{n}.npy"
         if if_f0:
+            # BOTH f0 files must exist (reference web.py:395-400
+            # intersects all four dirs) — a partially completed extract
+            # run must drop the row here, not FileNotFoundError mid-epoch
+            if not ((f0_dir / f0_name).exists()
+                    and (f0nsf_dir / f0_name).exists()):
+                continue
             rows.append(f"{gt / (n + '.wav')}|{feat_dir / (n + '.npy')}|"
                         f"{f0_dir / f0_name}|{f0nsf_dir / f0_name}|{spk_id}")
         else:
@@ -78,6 +84,21 @@ def write_filelist(exp_dir: str, version: str, if_f0: bool, spk_id: int,
     return str(out)
 
 
+def _wav_frames(path: str, hop: int) -> int:
+    """Exact spectrogram-frame count from the WAV header (sample count //
+    hop, rounded up).  Header-only read — no audio decode.  A slight
+    over-estimate is harmless (the item lands in a larger bucket and is
+    zero-padded + masked); an UNDER-estimate silently truncates training
+    audio at collate time, so file-size guessing is not acceptable."""
+    import wave as _wave
+    try:
+        with _wave.open(path, "rb") as w:
+            return -(-w.getnframes() // hop)
+    except Exception:
+        # non-PCM container: assume 16-bit mono and round up
+        return -(-os.path.getsize(path) // (2 * hop))
+
+
 @dataclass
 class Item:
     wav_path: str
@@ -85,7 +106,7 @@ class Item:
     f0_path: Optional[str]
     f0nsf_path: Optional[str]
     sid: int
-    n_frames: int  # estimated from file size, refined on load
+    n_frames: int  # exact, from the wav header (see _wav_frames)
 
 
 class RVCDataset:
@@ -104,8 +125,8 @@ class RVCDataset:
             else:
                 wav, feat, sid = parts
                 f0 = f0nsf = None
-            est = os.path.getsize(wav) // (3 * hp.data.hop_length)
-            self.items.append(Item(wav, feat, f0, f0nsf, int(sid), est))
+            n_frames = _wav_frames(wav, hp.data.hop_length)
+            self.items.append(Item(wav, feat, f0, f0nsf, int(sid), n_frames))
 
     def __len__(self):
         return len(self.items)
@@ -200,14 +221,23 @@ class BucketBatcher:
         order = rng.permutation(len(self.ds))[self.rank::self.world]
         by_bucket: Dict[int, List[int]] = {}
         for i in order:
-            est = self.ds.items[int(i)].n_frames
-            by_bucket.setdefault(self._bucket_of(min(est, 900)), []).append(int(i))
+            n = self.ds.items[int(i)].n_frames
+            if n < self.min_frames:
+                continue  # too short to slice a training segment from
+            by_bucket.setdefault(self._bucket_of(min(n, 900)), []).append(int(i))
+        # plan all batches first, then shuffle ACROSS buckets so an epoch
+        # is not sorted short-to-long (reference DistributedBucketSampler
+        # permutes its final batch list, data_utils.py:449)
+        plans: List[Tuple[int, List[int]]] = []
         for bucket, idxs in by_bucket.items():
             for s in range(0, len(idxs), self.batch_size):
                 group = idxs[s:s + self.batch_size]
                 while len(group) < self.batch_size:  # cycle-pad small tails
                     group = group + group[: self.batch_size - len(group)]
-                yield self._collate([self.ds.load(i) for i in group], bucket)
+                plans.append((bucket, group))
+        for k in rng.permutation(len(plans)):
+            bucket, group = plans[int(k)]
+            yield self._collate([self.ds.load(i) for i in group], bucket)
 
     def _collate(self, items: List[Dict], bucket: int) -> Dict[str, np.ndarray]:
         B = len(items)

@@ -136,7 +136,8 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
     steps_per_epoch = max(len(ds) // bs, 1)
 
     state, net_g, net_d = create_train_state(
-        hp, jax.random.PRNGKey(hp.train.seed), steps_per_epoch)
+        hp, jax.random.PRNGKey(hp.train.seed), steps_per_epoch,
+        use_f0=bool(if_f0))
 
     # warm start / resume
     ckpt = latest_checkpoint(exp_dir)
@@ -160,7 +161,8 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
                 strict=False)
             state, net_g, net_d = create_train_state(
                 hp, jax.random.PRNGKey(hp.train.seed), steps_per_epoch,
-                g_params=_merge_partial(state.g_params, g_params, log))
+                g_params=_merge_partial(state.g_params, g_params, log),
+                use_f0=bool(if_f0))
             log(f"loaded pretrained G from {pretrain_g}")
         if pretrain_d and os.path.exists(pretrain_d):
             from tpu_rvc.ckpt.torch_pth import load_pth

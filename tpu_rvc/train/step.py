@@ -61,18 +61,24 @@ def make_optimizers(hp: HParams, steps_per_epoch: int = 100):
 
 def create_train_state(hp: HParams, rng: jax.Array,
                        steps_per_epoch: int = 100,
-                       g_params=None, d_params=None
+                       g_params=None, d_params=None, use_f0: bool = True
                        ) -> Tuple[TrainState, Synthesizer,
                                   MultiPeriodDiscriminator]:
-    """Initialize generator/discriminator/optimizers."""
+    """Initialize generator/discriminator/optimizers.
+
+    use_f0=False builds the f0-less synthesizer variant (plain HiFiGAN
+    decoder, reference Synthesizer*NoF0, synthesizers.py:252,344) whose
+    batches carry no pitch/pitchf."""
     from tpu_rvc.models.synthesizer import make_synthesizer
 
-    net_g = make_synthesizer(hp, weight_norm=True, use_f0=True)
+    net_g = make_synthesizer(hp, weight_norm=True, use_f0=use_f0)
     net_d = MultiPeriodDiscriminator(version=hp.version)
     seg_frames = hp.train.segment_size // hp.data.hop_length
     T = max(seg_frames + 16, 64)
     if g_params is None:
         k1, k2, k3, k4 = jax.random.split(rng, 4)
+        pitch_args = ((jnp.zeros((1, T), jnp.int32), jnp.zeros((1, T)))
+                      if use_f0 else ())
         g_vars = net_g.init(
             {"params": k1, "noise": k2, "slice": k3},
             jnp.zeros((1, T, hp.encoder_dim)),
@@ -80,8 +86,7 @@ def create_train_state(hp: HParams, rng: jax.Array,
             jnp.zeros((1, T, hp.data.spec_channels)),
             jnp.asarray([T]),
             jnp.asarray([0]),
-            jnp.zeros((1, T), jnp.int32),
-            jnp.zeros((1, T)),
+            *pitch_args,
         )
         g_params = g_vars["params"]
     if d_params is None:
@@ -121,6 +126,10 @@ def make_train_step(net_g: Synthesizer, net_d: MultiPeriodDiscriminator,
         return dynamic_range_compression(mel)
 
     def g_forward(g_params, batch, rngs):
+        # f0-less batches carry no pitch keys (reference TextAudioLoader
+        # vs TextAudioLoaderMultiNSFsid, data_utils.py)
+        pitch_args = ((batch["pitch"], batch["pitchf"].astype(compute_dtype))
+                      if net_g.use_f0 else ())
         return net_g.apply(
             {"params": g_params},
             batch["phone"].astype(compute_dtype),
@@ -128,8 +137,7 @@ def make_train_step(net_g: Synthesizer, net_d: MultiPeriodDiscriminator,
             batch["spec"].astype(compute_dtype),
             batch["spec_lengths"],
             batch["sid"],
-            batch["pitch"],
-            batch["pitchf"].astype(compute_dtype),
+            *pitch_args,
             rngs=rngs,
         )
 
