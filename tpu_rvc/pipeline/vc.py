@@ -42,6 +42,14 @@ def _bucket(n: int, step: int = SR) -> int:
     return int(math.ceil(n / step)) * step
 
 
+def _feat_frames(n16: int) -> int:
+    """Feature frames after HuBERT's conv extractor (k=10,s=5 then 4x
+    stride-2: (n-400)//320+1, hubert loader contract) x2 nearest time
+    upsample — the single definition of the derived-shape formula used by
+    the graph builders (train/extract.py uses the un-doubled count)."""
+    return 2 * ((n16 - 400) // 320 + 1)
+
+
 def silence_chunk_bounds(audio: np.ndarray, t_center: int, t_query: int,
                          t_max: int) -> List[int]:
     """Quietest-sample split points for long audio (reference
@@ -112,8 +120,6 @@ class Pipeline:
         if key in self._graphs:
             return self._graphs[key]
 
-        upsample = math.prod(self.synth.upsample_rates)
-
         def run(hubert_vars, synth_vars, audio, true_len, sid, pitch,
                 pitchf, index_vecs, index_sq, index_rate, protect, noise_key):
             # audio: (bucket_len,) float32 @16k; pitch/pitchf: (p_len,)
@@ -172,7 +178,7 @@ class Pipeline:
         inner = self._chunk_graph(bucket, use_f0, has_index, protect_on)
         p_len = L // WINDOW
         upsample = math.prod(self.synth.upsample_rates)
-        p_len_static = min(bucket // WINDOW, 2 * ((bucket - 400) // 320 + 1))
+        p_len_static = min(bucket // WINDOW, _feat_frames(bucket))
         true_frames = min(p_len, p_len_static)
         f0_model = (self.f0_gen._get(f0_mode).model
                     if use_f0 and f0_mode in ("rmvpe", "fcpe") else None)
@@ -241,8 +247,7 @@ class Pipeline:
 
         audio_dev = jnp.asarray(audio_chunk, jnp.float32)
         audio_pad = jnp.zeros(bucket, jnp.float32).at[:L].set(audio_dev)
-        p_len_static = min(bucket // WINDOW,
-                           2 * ((bucket - 400) // 320 + 1))
+        p_len_static = min(bucket // WINDOW, _feat_frames(bucket))
         if use_f0:
             pit = jnp.zeros(p_len_static, jnp.int32)
             pitf = jnp.zeros(p_len_static, jnp.float32)
@@ -304,7 +309,19 @@ class Pipeline:
                 d = 256 if self.version == "v1" else 768
                 vecs, sq = (jnp.zeros((1, d), jnp.float32),
                             jnp.zeros((1,), jnp.float32))
-            L = audio_pad.shape[0]
+            # bucket the padded length to the 1 s grid so XLA compiles
+            # ONE full graph per bucket, not per distinct utterance
+            # length (each compile costs minutes on remote devices); the
+            # tail is reflect-extended so the in-graph RMS envelope and
+            # int16 peak scaling see audio-like samples, and the output
+            # is trimmed back to the true length below
+            L_true = audio_pad.shape[0]
+            L = _bucket(L_true)
+            if L != L_true:
+                extra = L - L_true
+                audio_pad = np.pad(
+                    audio_pad, (0, extra),
+                    mode="reflect" if extra < L_true else "constant")
             f0_mode = f0_method if use_f0 else "pm"
             if f0_mode == "fcpe" and \
                     self.f0_gen._get("fcpe").model is None:
@@ -322,6 +339,12 @@ class Pipeline:
                         jnp.asarray(protect, jnp.float32),
                         jnp.asarray(rms_mix_rate, jnp.float32),
                         jax.random.PRNGKey(noise_seed))
+            if L != L_true:  # trim the bucket tail to the true length
+                upsample = math.prod(self.synth.upsample_rates)
+                p_len_static = min(L // WINDOW, _feat_frames(L))
+                n_true = (min(L_true // WINDOW, p_len_static) * upsample
+                          - 2 * self.t_pad_tgt)
+                out = out[:n_true]
             if self.tgt_sr != resample_sr and resample_sr >= SR:
                 out = resample_poly(
                     (out.astype(jnp.float32) / 32768.0)[None],
@@ -346,14 +369,21 @@ class Pipeline:
                 pitchf = jnp.asarray(np.asarray(pitchf,
                                                 np.float32)[:p_len])
             elif f0_method == "pm" and f0_file is None:
-                # fully device-resident f0 (no host round trip)
+                # fully device-resident f0 (no host round trip), compiled
+                # per 1 s LENGTH BUCKET, not per exact utterance length
                 from tpu_rvc.f0.device import pm_f0_device
-                key = (p_len, "pm_dev")
+                Lb = _bucket(audio_pad.shape[0])
+                p_len_b = Lb // WINDOW
+                key = (p_len_b, "pm_dev")
                 if key not in self._graphs:
                     self._graphs[key] = jax.jit(
-                        lambda w, k: pm_f0_device(w, p_len, k))
+                        lambda w, k, n=p_len_b: pm_f0_device(w, n, k))
+                audio_b = (audio_pad_dev if Lb == audio_pad.shape[0] else
+                           jnp.zeros(Lb, jnp.float32)
+                           .at[:audio_pad.shape[0]].set(audio_pad_dev))
                 pitch, pitchf = self._graphs[key](
-                    audio_pad_dev, jnp.asarray(float(f0_up_key)))
+                    audio_b, jnp.asarray(float(f0_up_key)))
+                pitch, pitchf = pitch[:p_len], pitchf[:p_len]
             else:
                 if (f0_method == "fcpe"
                         and self.f0_gen._get("fcpe").model is None):
