@@ -32,17 +32,34 @@ def main():
     from tpu_rvc.pipeline.vc import Pipeline
     from tpu_rvc.retrieval.index import build_index
 
+    # BENCH_SMOKE=1: functional CPU validation of the measurement loop
+    # itself (tiny model, few iterations) — NOT a performance number
+    smoke = bool(os.environ.get("BENCH_SMOKE"))
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     hp = hparams_for("v2", 48000)
+    if smoke:
+        import dataclasses
+        hp = dataclasses.replace(hp, model=dataclasses.replace(
+            hp.model, inter_channels=32, hidden_channels=32,
+            filter_channels=64, n_heads=2, n_layers=1,
+            upsample_initial_channel=64))
     rng = jax.random.PRNGKey(0)
 
-    print(f"[bench] platform={platform} dtype={dtype.__name__}",
-          file=sys.stderr)
+    print(f"[bench] platform={platform} dtype={dtype.__name__}"
+          + (" SMOKE" if smoke else ""), file=sys.stderr)
 
     hub = hubert_for_version("v2")
+    if smoke:
+        from tpu_rvc.models.hubert import Hubert
+        hub = Hubert(output_layer=1, final_proj=False, embed=768, ffn_dim=64,
+                     n_heads=2, pos_conv_k=16, pos_conv_groups=2,
+                     conv_layers=((32, 10, 5), (32, 4, 4), (32, 4, 4),
+                                  (32, 2, 2), (32, 2, 2)))
     hub_vars = hub.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))
     syn = make_synthesizer(hp, weight_norm=False, use_f0=True)
     T0 = 50
@@ -56,19 +73,25 @@ def main():
                     synth=syn, synth_vars=syn_vars, version="v2",
                     dtype=dtype)
 
-    # device-resident RMVPE (BASELINE config 2's f0 method); random-init
-    # weights are FLOP- and traffic-identical to the published rmvpe.pt
-    from tpu_rvc.f0.rmvpe import RMVPE
-    from tpu_rvc.models.rmvpe import E2E
-    rmvpe_vars = E2E().init(jax.random.PRNGKey(3), jnp.zeros((1, 128, 32)))
-    pipe.f0_gen._estimators["rmvpe"] = RMVPE(variables=rmvpe_vars,
-                                             dtype=dtype)
+    f0_method = "pm" if smoke else "rmvpe"
+    if not smoke:
+        # device-resident RMVPE (BASELINE config 2's f0 method);
+        # random-init weights are FLOP- and traffic-identical to the
+        # published rmvpe.pt
+        from tpu_rvc.f0.rmvpe import RMVPE
+        from tpu_rvc.models.rmvpe import E2E
+        rmvpe_vars = E2E().init(jax.random.PRNGKey(3),
+                                jnp.zeros((1, 128, 32)))
+        pipe.f0_gen._estimators["rmvpe"] = RMVPE(variables=rmvpe_vars,
+                                                 dtype=dtype)
 
     # 10k x 768 retrieval index (the post-kmeans size for big datasets)
     np_rng = np.random.default_rng(0)
-    index = build_index(np_rng.standard_normal((10_000, 768)).astype(np.float32))
+    n_index = 1000 if smoke else 10_000
+    index = build_index(
+        np_rng.standard_normal((n_index, 768)).astype(np.float32))
 
-    dur_s = 10.0
+    dur_s = 2.0 if smoke else 10.0
     sr = 16000
     t = np.arange(int(sr * dur_s)) / sr
     audio = (0.4 * np.sin(2 * np.pi * 220 * t) *
@@ -76,8 +99,8 @@ def main():
 
     def convert(fetch=True):
         times = [0.0, 0.0, 0.0]
-        return pipe.pipeline(0, audio, times, 0, "rmvpe", index, 0.75, 1, 3,
-                             0, 0.25, 0.33, fetch=fetch)
+        return pipe.pipeline(0, audio, times, 0, f0_method, index, 0.75, 1,
+                             3, 0, 0.25, 0.33, fetch=fetch)
 
     # warmup/compile
     t0 = time.time()
@@ -85,42 +108,64 @@ def main():
     print(f"[bench] compile+first run: {time.time() - t0:.1f}s, "
           f"out={len(out)} samples @48k", file=sys.stderr)
 
-    # steady-state throughput with depth-1 pipelining: utterance i+1's
-    # graph is dispatched before fetching utterance i (the metric is
-    # audio-seconds per second per chip)
-    n_iter = 14
+    # steady-state throughput with depth-D pipelining: keep D dispatches
+    # in flight (dispatches are async on this backend; only the
+    # device->host fetch synchronizes), fetch the oldest before each new
+    # dispatch, and drain at the end.  Throughput accounting is total
+    # wall / n_iter INCLUDING the drain, so queueing cannot flatter the
+    # number (the metric is audio-seconds per second per chip — the
+    # serving posture, same as the depth-1 server loop).
+    import collections
+    import statistics
+    n_iter = 4 if smoke else 14
+    depth = 2 if smoke else 3
+    # per-iteration walls, diagnostic only: once the pipeline is full
+    # each iteration's wall = dispatch of utterance i + the BLOCKING
+    # fetch of utterance i-depth, so these are fetch-dominated — use
+    # them to spot tunnel-RTT swings, not dispatch-cost changes
     times = []
-    prev = None
+    pending = collections.deque()
+    t_start = time.time()
     for _ in range(n_iter):
         t0 = time.time()
-        y = convert(fetch=False)
-        if prev is not None:
-            np.asarray(prev)  # fetch previous result, overlapped
-        prev = y
+        pending.append(convert(fetch=False))
+        if len(pending) > depth:
+            np.asarray(pending.popleft())  # fetch oldest, overlapped
         times.append(time.time() - t0)
-    np.asarray(prev)
-    import statistics
-    elapsed = statistics.median(times[1:])
+    last_dev = pending[-1]  # kept for the D2H breakdown below
+    while pending:
+        np.asarray(pending.popleft())
+    total = time.time() - t_start
+    elapsed = total / n_iter
     rtf = dur_s / elapsed
-    print(f"[bench] pipelined median {elapsed * 1000:.1f} ms per 10 s "
-          f"utterance (min {min(times[1:])*1000:.0f}, "
-          f"max {max(times[1:])*1000:.0f})", file=sys.stderr)
+    print(f"[bench] depth-{depth} pipelined: {elapsed * 1000:.1f} ms per "
+          f"{dur_s:.0f} s utterance amortized over {n_iter} "
+          f"(iter-wall median {statistics.median(times[1:])*1000:.0f}, "
+          f"min {min(times[1:])*1000:.0f}, max {max(times[1:])*1000:.0f})",
+          file=sys.stderr)
 
     # ---- per-stage breakdown artifact (BENCH_BREAKDOWN.json) ----
     # Separate-dispatch stage timings so round-over-round regressions are
     # attributable (tunnel RTT swings the headline RTF 66-89x between
     # sessions; the min wall and the stage split are the stable signals).
     try:
-        breakdown = _stage_breakdown(pipe, audio, dur_s, prev)
+        breakdown = _stage_breakdown(pipe, audio, dur_s, last_dev,
+                                     f0_method=f0_method)
         breakdown.update({
             "platform": platform,
-            "pipelined_ms_median": round(elapsed * 1000, 1),
-            "pipelined_ms_min": round(min(times[1:]) * 1000, 1),
-            "pipelined_ms_all": [round(x * 1000, 1) for x in times],
+            "pipeline_depth": depth,
+            "pipelined_ms_amortized": round(elapsed * 1000, 1),
+            # iter walls include the blocking fetch of utterance i-depth
+            # once the pipeline is full (fetch-dominated, tracks tunnel
+            # RTT rather than dispatch cost)
+            "iter_ms_median": round(
+                statistics.median(times[1:]) * 1000, 1),
+            "iter_ms_all": [round(x * 1000, 1) for x in times],
             "rtf": round(rtf, 2),
         })
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_BREAKDOWN.json")
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_BREAKDOWN_SMOKE.json" if smoke else "BENCH_BREAKDOWN.json")
         with open(path, "w") as f:
             json.dump(breakdown, f, indent=2)
         print(f"[bench] stage split (ms): "
@@ -137,14 +182,14 @@ def main():
     }))
 
 
-def _stage_breakdown(pipe, audio, dur_s, out_dev, n=5):
+def _stage_breakdown(pipe, audio, dur_s, out_dev, n=5, f0_method="rmvpe"):
     """Median fetch-inclusive wall per stage, separate dispatches
     (fetch is the only reliable sync on this backend, CLAUDE.md)."""
     import statistics
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from tpu_rvc.f0.device import rmvpe_f0_device
+    from tpu_rvc.f0.device import pm_f0_device, rmvpe_f0_device
 
     def timeit(fn):
         fn()  # compile / warm
@@ -162,11 +207,16 @@ def _stage_breakdown(pipe, audio, dur_s, out_dev, n=5):
     hub_fn = jax.jit(lambda v, w: pipe.hubert.apply(v, w))
     t_hub = timeit(lambda: hub_fn(pipe.hubert_vars, wav))
 
-    est = pipe.f0_gen._estimators["rmvpe"]
-    f0_fn = jax.jit(lambda v, w: rmvpe_f0_device(
-        w, p_len, 0.0, est.model, v, dtype=dtype)[1])
-    t_f0 = timeit(lambda: f0_fn(est.variables,
-                                jnp.asarray(audio, jnp.float32)))
+    if f0_method == "rmvpe":
+        est = pipe.f0_gen._estimators["rmvpe"]
+        f0_fn = jax.jit(lambda v, w: rmvpe_f0_device(
+            w, p_len, 0.0, est.model, v, dtype=dtype)[1])
+        t_f0 = timeit(lambda: f0_fn(est.variables,
+                                    jnp.asarray(audio, jnp.float32)))
+    else:
+        f0_fn = jax.jit(lambda w, k: pm_f0_device(w, p_len, k)[1])
+        t_f0 = timeit(lambda: f0_fn(jnp.asarray(audio, jnp.float32),
+                                    jnp.asarray(0.0)))
 
     rng = np.random.default_rng(1)
     phone = jnp.asarray(rng.standard_normal((1, p_len, 768)), dtype)
@@ -190,7 +240,7 @@ def _stage_breakdown(pipe, audio, dur_s, out_dev, n=5):
     t_d2h = round(statistics.median(d2h) * 1000, 1)
 
     return {"utterance_s": dur_s,
-            "stages_ms": {"hubert": t_hub, "rmvpe_f0": t_f0,
+            "stages_ms": {"hubert": t_hub, f"{f0_method}_f0": t_f0,
                           "synth": t_syn, "d2h_int16": t_d2h},
             "note": "separate dispatches, fetch-inclusive medians of "
                     f"{n}; the fused pipeline overlaps these"}
