@@ -108,3 +108,91 @@ def download_all_assets(root: str = ".", mirror: str = DEFAULT_MIRROR) -> None:
         if os.path.exists(dest) and sha256_file(dest) == hexhash:
             continue
         download_file(f"{mirror}/{name}", dest, hexhash)
+
+
+# The minimum real-payload set the product depends on (reference
+# rvc/hubert.py:265 loads hubert_base.pt, rvc/f0/rmvpe.py:16 loads rmvpe.pt,
+# infer/modules/train/train.py:317-354 warm-starts from pretrained G/D,
+# infer/modules/uvr5/mdxnet.py:232 loads vocals.onnx).
+CORE_ASSETS = (
+    ("hubert/hubert_base.pt", "hubert_base.pt"),
+    ("rmvpe/rmvpe.pt", "rmvpe.pt"),
+    ("pretrained_v2/f0G48k.pth", "pretrained_v2/f0G48k.pth"),
+    ("pretrained_v2/f0D48k.pth", "pretrained_v2/f0D48k.pth"),
+    ("uvr5_weights/onnx_dereverb_By_FoxJoy/vocals.onnx",
+     "uvr5_weights/onnx_dereverb_By_FoxJoy/vocals.onnx"),
+)
+
+MIRRORS = (
+    DEFAULT_MIRROR,
+    "https://hf-mirror.com/lj1995/VoiceConversionWebUI/resolve/main",
+)
+
+
+def attempt_asset_report(root: str = ".", timeout: float = 30.0) -> dict:
+    """Try to fetch every core asset from every known mirror and record what
+    happened, successful or not, into a machine-readable report.
+
+    This is the auditable form of the reference's `download_all_assets`
+    (infer/lib/rvcmd.py:165): in a network-restricted environment the report
+    documents exactly which fetches were attempted and how they failed, so a
+    missing real-payload test has an explicit, dated blocker on file.
+    """
+    import datetime
+    import socket
+
+    report = {
+        "generated_utc": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds"),
+        "dns_probe": {},
+        "attempts": [],
+        "downloaded": [],
+    }
+    for host in ("huggingface.co", "hf-mirror.com"):
+        try:
+            addr = socket.getaddrinfo(host, 443)[0][4][0]
+            report["dns_probe"][host] = {"ok": True, "addr": addr}
+        except Exception as e:  # noqa: BLE001 - we are recording the failure
+            report["dns_probe"][host] = {
+                "ok": False, "error": f"{type(e).__name__}: {e}"}
+
+    for dest_rel, remote_rel in CORE_ASSETS:
+        dest = os.path.join(root, "assets", dest_rel)
+        if os.path.exists(dest):
+            report["downloaded"].append(dest_rel)
+            continue
+        for mirror in MIRRORS:
+            url = f"{mirror}/{remote_rel}"
+            entry = {"asset": dest_rel, "url": url}
+            try:
+                download_file(url, dest, timeout=timeout)
+                entry["ok"] = True
+                report["downloaded"].append(dest_rel)
+            except Exception as e:  # noqa: BLE001 - recording the failure
+                entry["ok"] = False
+                entry["error"] = f"{type(e).__name__}: {e}"
+            report["attempts"].append(entry)
+            if entry["ok"]:
+                break
+    report["all_ok"] = len(report["downloaded"]) == len(CORE_ASSETS)
+    return report
+
+
+if __name__ == "__main__":
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description="asset check/download tool")
+    ap.add_argument("--root", default=".")
+    ap.add_argument("--attempt-report", metavar="OUT_JSON",
+                    help="attempt core-asset downloads, write a JSON report")
+    a = ap.parse_args()
+    if a.attempt_report:
+        rep = attempt_asset_report(a.root)
+        with open(a.attempt_report, "w") as f:
+            json.dump(rep, f, indent=1, ensure_ascii=False)
+        print(json.dumps(rep, indent=1, ensure_ascii=False))
+    else:
+        ok = check_all_assets(a.root)
+        print("assets ok" if ok else "assets missing/corrupt")
+        raise SystemExit(0 if ok else 1)
