@@ -37,6 +37,10 @@ def main():
                    help="disable bfloat16 compute")
     p.add_argument("--chunk-parallel", action="store_true",
                    help="shard a long file's chunks over all devices")
+    p.add_argument("--aot-cache", default=".jax_cache", metavar="DIR",
+                   help="warm-start cache dir for compiled graphs "
+                        "(persistent XLA executable cache + StableHLO "
+                        "exports); pass '' to disable")
     args = p.parse_args()
 
     import numpy as np
@@ -44,8 +48,12 @@ def main():
     from tpu_rvc.retrieval.index import FeatureIndex
     from tpu_rvc.audio.io import save_audio
 
+    if args.aot_cache:
+        from tpu_rvc.utils.aot import enable_persistent_compilation_cache
+        enable_persistent_compilation_cache(args.aot_cache)
+
     vc = VC(is_half=not args.fp32, rmvpe_root=args.rmvpe_root,
-            hubert_path=args.hubert)
+            hubert_path=args.hubert, aot_dir=args.aot_cache or None)
     meta = vc.get_vc(args.model)
     print(f"loaded {args.model}: sr={vc.tgt_sr}, version={vc.version}, "
           f"f0={vc.if_f0}, speakers={vc.n_spk}")

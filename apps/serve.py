@@ -238,12 +238,18 @@ def build_engine(args):
         hub, hub_vars = load_hubert_base(args.hubert,
                                          meta.get("version", "v2"))
     index = FeatureIndex.load(args.index) if args.index else None
+    aot_cache = None
+    if getattr(args, "aot_cache", None):
+        from tpu_rvc.utils.aot import (AOTGraphCache,
+                                       enable_persistent_compilation_cache)
+        enable_persistent_compilation_cache(args.aot_cache)
+        aot_cache = AOTGraphCache(args.aot_cache)
     return RealtimeVC(
         hubert=hub, hubert_vars=hub_vars, synth=synth,
         synth_vars=synth_vars, version=meta.get("version", "v2"),
         if_f0=int(meta.get("f0", 1)), index=index,
         index_rate=args.index_rate, f0_up_key=args.f0_up_key,
-        rmvpe_root=args.rmvpe_root)
+        rmvpe_root=args.rmvpe_root, aot_cache=aot_cache)
 
 
 def main(argv=None):
@@ -262,6 +268,10 @@ def main(argv=None):
     p.add_argument("--f0-method", default="rmvpe")
     p.add_argument("--f0-up-key", type=float, default=0.0)
     p.add_argument("--index-rate", type=float, default=0.0)
+    p.add_argument("--aot-cache", default=".jax_cache", metavar="DIR",
+                   help="warm-start cache dir for compiled block graphs "
+                        "(persistent XLA cache + StableHLO exports); "
+                        "pass '' to disable")
     p.add_argument("--client", nargs=2, metavar=("IN", "OUT"),
                    help="run as a demo client instead: stream IN -> OUT")
     args = p.parse_args(argv)

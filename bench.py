@@ -37,6 +37,17 @@ def main():
     smoke = bool(os.environ.get("BENCH_SMOKE"))
     if smoke:
         jax.config.update("jax_platforms", "cpu")
+    # warm-start caching (reference jit-cache role, rvc/jit/jit.py:58):
+    # persistent XLA executable cache + StableHLO export reload.  First
+    # round-2 cold start was 705 s of remote compiles; warm runs skip both
+    # the compile and the retrace.  BENCH_NO_CACHE=1 reverts to cold.
+    aot_cache = None
+    if not os.environ.get("BENCH_NO_CACHE"):
+        from tpu_rvc.utils.aot import (AOTGraphCache,
+                                       enable_persistent_compilation_cache)
+        cache_dir = enable_persistent_compilation_cache()
+        aot_cache = AOTGraphCache(cache_dir)
+        print(f"[bench] warm-start cache: {cache_dir}", file=sys.stderr)
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -71,7 +82,7 @@ def main():
 
     pipe = Pipeline(48000, hubert=hub, hubert_vars=hub_vars,
                     synth=syn, synth_vars=syn_vars, version="v2",
-                    dtype=dtype)
+                    dtype=dtype, aot_cache=aot_cache)
 
     f0_method = "pm" if smoke else "rmvpe"
     if not smoke:
@@ -105,8 +116,14 @@ def main():
     # warmup/compile
     t0 = time.time()
     out = convert()
-    print(f"[bench] compile+first run: {time.time() - t0:.1f}s, "
-          f"out={len(out)} samples @48k", file=sys.stderr)
+    first_run_s = time.time() - t0
+    cache_note = ""
+    if aot_cache is not None:
+        s = aot_cache.stats()
+        cache_note = (f" (aot {'HIT' if s['hits'] else 'miss'}: "
+                      f"{s['hits']} hit / {s['misses']} miss)")
+    print(f"[bench] compile+first run: {first_run_s:.1f}s, "
+          f"out={len(out)} samples @48k{cache_note}", file=sys.stderr)
 
     # steady-state throughput with depth-D pipelining: keep D dispatches
     # in flight (dispatches are async on this backend; only the
@@ -162,6 +179,9 @@ def main():
                 statistics.median(times[1:]) * 1000, 1),
             "iter_ms_all": [round(x * 1000, 1) for x in times],
             "rtf": round(rtf, 2),
+            "compile_first_run_s": round(first_run_s, 1),
+            "aot_cache": (aot_cache.stats() if aot_cache is not None
+                          else "disabled"),
         })
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),

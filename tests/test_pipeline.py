@@ -338,3 +338,69 @@ def test_vc_facade_single_and_multi(tmp_path):
     assert outs == ["in0.wav.wav", "in1.wav.wav"]
     y, sr2 = load_wav(str(tmp_path / "out" / outs[0]))
     assert sr2 == 16000 and np.isfinite(y).all()
+
+
+def _mk_small_pipeline(aot_cache=None):
+    hub = Hubert(**SMALL_HUBERT)
+    hub_vars = hub.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))
+    syn = Synthesizer(**SMALL_SYNTH)
+    T = 20
+    syn_vars = syn.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, T, 64)), jnp.asarray([T]), jnp.asarray([0]),
+        jnp.zeros((1, T), jnp.int32), jnp.zeros((1, T)),
+        method=Synthesizer.infer)
+    return Pipeline(16000, hubert=hub, hubert_vars=hub_vars, synth=syn,
+                    synth_vars=syn_vars, version="v2", x_pad=0.5,
+                    x_query=2.0, x_center=5.0, x_max=6.0,
+                    aot_cache=aot_cache)
+
+
+def test_aot_warm_start_roundtrip(tmp_path):
+    """StableHLO export -> fresh-process-style reload -> numerically equal
+    output (reference rvc/jit/jit.py:58 get_jit_model role).  The second
+    Pipeline instance simulates a new process: same cache dir, no shared
+    jit cache, and its graph must come from the serialized export."""
+    from tpu_rvc.utils.aot import AOTGraphCache
+
+    cache1 = AOTGraphCache(str(tmp_path), platform="cpu")
+    pipe1 = _mk_small_pipeline(cache1)
+    audio = tone(dur=1.5)
+    times = [0.0, 0.0, 0.0]
+    out1 = pipe1.pipeline(0, audio, times, 0, "pm", None, 0.0, 1, 0,
+                          0, 0.25, 0.33)
+    assert cache1.misses == 1 and cache1.hits == 0
+    files = [p for p in os.listdir(tmp_path) if p.endswith(".stablehlo")]
+    assert len(files) == 1, files
+
+    cache2 = AOTGraphCache(str(tmp_path), platform="cpu")
+    pipe2 = _mk_small_pipeline(cache2)
+    out2 = pipe2.pipeline(0, audio, times, 0, "pm", None, 0.0, 1, 0,
+                          0, 0.25, 0.33)
+    assert cache2.hits == 1 and cache2.misses == 0
+    key = next(k for k in pipe2._graphs if k[0] == "full")
+    assert getattr(pipe2._graphs[key], "aot_cache_status", "") == "hit"
+    assert out1.shape == out2.shape
+    # int16 output: identical graph + weights + noise key -> bit-equal
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_aot_cache_corrupt_entry_recovers(tmp_path):
+    """A truncated/corrupt cache entry must fall back to tracing and
+    overwrite the bad file, never fail the conversion."""
+    from tpu_rvc.utils.aot import AOTGraphCache
+
+    cache = AOTGraphCache(str(tmp_path), platform="cpu")
+    pipe = _mk_small_pipeline(cache)
+    audio = tone(dur=1.5)
+    out1 = pipe.pipeline(0, audio, [0, 0, 0], 0, "pm", None, 0.0, 1, 0,
+                         0, 0.25, 0.33)
+    fname = next(p for p in os.listdir(tmp_path) if p.endswith(".stablehlo"))
+    with open(os.path.join(str(tmp_path), fname), "wb") as f:
+        f.write(b"corrupt garbage")
+    cache2 = AOTGraphCache(str(tmp_path), platform="cpu")
+    pipe2 = _mk_small_pipeline(cache2)
+    out2 = pipe2.pipeline(0, audio, [0, 0, 0], 0, "pm", None, 0.0, 1, 0,
+                          0, 0.25, 0.33)
+    assert cache2.hits == 0 and cache2.misses == 1
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))

@@ -43,7 +43,12 @@ class RealtimeVC:
                  index: Optional[FeatureIndex] = None,
                  index_rate: float = 0.0, f0_up_key: float = 0.0,
                  formant_shift: float = 0.0,
-                 rmvpe_root: str = "assets/rmvpe", dtype=jnp.float32):
+                 rmvpe_root: str = "assets/rmvpe", dtype=jnp.float32,
+                 aot_cache=None):
+        # aot_cache: utils.aot.AOTGraphCache — streaming block graphs are
+        # StableHLO-serialized per (block geometry, config) and reloaded
+        # without retracing on the next server start
+        self.aot_cache = aot_cache
         self.hubert, self.hubert_vars = hubert, hubert_vars
         self.synth, self.synth_vars = synth, synth_vars
         self.version = version
@@ -112,9 +117,16 @@ class RealtimeVC:
         key = (L16, skip_head, return_length, return_length2, use_f0,
                has_index, protect_on)
         if key not in self._graphs:
-            self._graphs[key] = jax.jit(self._make_run(
+            fn = jax.jit(self._make_run(
                 L16, skip_head, return_length, return_length2, use_f0,
                 has_index, protect_on))
+            if self.aot_cache is not None:
+                from tpu_rvc.utils.aot import _tree_shape_sig
+                sig = _tree_shape_sig((self.hubert_vars, self.synth_vars))
+                fn = self.aot_cache.wrap(
+                    f"rt_block|{self.version}|{self.tgt_sr}|"
+                    f"{jnp.dtype(self.dtype).name}|{sig}|{key}", fn)
+            self._graphs[key] = fn
         return self._graphs[key]
 
     def infer(self, input_wav: np.ndarray, block_frame_16k: int,
@@ -205,9 +217,17 @@ class BatchedRealtimeVC(RealtimeVC):
             run = self._make_run(L16, skip_head, return_length,
                                  return_length2, use_f0, has_index,
                                  protect_on)
-            self._graphs[key] = jax.jit(jax.vmap(
+            fn = jax.jit(jax.vmap(
                 run, in_axes=(None, None, 0, 0, 0, None, None, None, None,
                               0)))
+            if self.aot_cache is not None:
+                from tpu_rvc.utils.aot import _tree_shape_sig
+                sig = _tree_shape_sig((self.hubert_vars, self.synth_vars))
+                fn = self.aot_cache.wrap(
+                    f"rt_batched{self.n_streams}|{self.version}|"
+                    f"{self.tgt_sr}|{jnp.dtype(self.dtype).name}|{sig}|"
+                    f"{key}", fn)
+            self._graphs[key] = fn
         return self._graphs[key]
 
     def infer(self, input_wavs: np.ndarray, block_frame_16k: int,

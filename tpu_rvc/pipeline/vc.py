@@ -93,8 +93,13 @@ class Pipeline:
                  version: str = "v2", x_pad: float = 3.0, x_query: float = 10.0,
                  x_center: float = 60.0, x_max: float = 65.0,
                  rmvpe_root: str = "assets/rmvpe", is_half: bool = True,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, aot_cache=None):
         self.tgt_sr = tgt_sr
+        # optional utils.aot.AOTGraphCache: fused conversion graphs are
+        # StableHLO-serialized per (config, bucket) and reloaded without
+        # retracing on the next process start (reference jit-cache role,
+        # rvc/jit/jit.py:58)
+        self.aot_cache = aot_cache
         self.version = version
         self.hubert, self.hubert_vars = hubert, hubert_vars
         self.synth, self.synth_vars = synth, synth_vars
@@ -225,7 +230,14 @@ class Pipeline:
             max_int16 = jnp.where(audio_max > 1, 32768.0 / audio_max, 32768.0)
             return jnp.clip(out * max_int16, -32768, 32767).astype(jnp.int16)
 
-        self._graphs[key] = jax.jit(run_full)
+        fn = jax.jit(run_full)
+        if self.aot_cache is not None:
+            from tpu_rvc.utils.aot import _tree_shape_sig
+            sig = _tree_shape_sig((self.hubert_vars, self.synth_vars))
+            fn = self.aot_cache.wrap(
+                f"vc_full|{self.version}|{self.tgt_sr}|"
+                f"{jnp.dtype(self.dtype).name}|{sig}|{key}", fn)
+        self._graphs[key] = fn
         return self._graphs[key]
 
     # ------------------------------------------------------------------
@@ -436,11 +448,17 @@ class VC:
     def __init__(self, version_default: str = "v2", is_half: bool = True,
                  rmvpe_root: str = "assets/rmvpe",
                  hubert_path: str = "assets/hubert/hubert_base.pt",
-                 x_pad: float = 3.0):
+                 x_pad: float = 3.0, aot_dir: Optional[str] = None):
         self.is_half = is_half
         self.rmvpe_root = rmvpe_root
         self.hubert_path = hubert_path
         self.x_pad = x_pad
+        # aot_dir: StableHLO warm-start cache for the fused conversion
+        # graphs (reference rvc/jit/jit.py:58 get_jit_model role)
+        self.aot_cache = None
+        if aot_dir:
+            from tpu_rvc.utils.aot import AOTGraphCache
+            self.aot_cache = AOTGraphCache(aot_dir)
         self.pipeline: Optional[Pipeline] = None
         self.tgt_sr: Optional[int] = None
         self.version: Optional[str] = None
@@ -478,7 +496,7 @@ class VC:
             self.tgt_sr, hubert=hubert, hubert_vars=hubert_vars,
             synth=synth, synth_vars=synth_vars, version=self.version,
             rmvpe_root=self.rmvpe_root, is_half=self.is_half,
-            x_pad=self.x_pad)
+            x_pad=self.x_pad, aot_cache=self.aot_cache)
         return meta
 
     def vc_single(self, sid: int, input_audio_path: str, f0_up_key: int = 0,
