@@ -51,7 +51,8 @@ def cmd_change_info(args):
 
 def cmd_export_onnx(args):
     from tpu_rvc.ckpt.export import export_onnx
-    export_onnx(args.model, args.output, T=args.frames)
+    export_onnx(args.model, args.output, T=args.frames,
+                spk_mix=getattr(args, "spk_mix", False))
     print("exported ->", args.output)
 
 
@@ -137,6 +138,10 @@ def main():
     so.add_argument("output")
     so.add_argument("--frames", type=int, default=200,
                     help="static frame count of the exported graph")
+    so.add_argument("--spk-mix", action="store_true",
+                    help="speaker-mix variant: ds becomes per-frame "
+                         "float mixing weights (reference spkmixmap, "
+                         "rvc/onnx/synthesizer.py:60)")
     so.set_defaults(fn=cmd_export_onnx)
 
     args = p.parse_args()

@@ -85,15 +85,16 @@ def test_export_gather_scatter(tmp_path, rng):
     _roundtrip(tmp_path, fn, E, [idx, x], n_out=2)
 
 
-def _tiny_synth(use_f0=True):
+def _tiny_synth(use_f0=True, spk_embed_dim=3):
     return Synthesizer(
         spec_channels=65, segment_size=64, inter_channels=8,
         hidden_channels=8, filter_channels=16, n_heads=2, n_layers=1,
         kernel_size=3, p_dropout=0.0, resblock="1",
         resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3, 5),),
         upsample_rates=(4, 4), upsample_initial_channel=16,
-        upsample_kernel_sizes=(8, 8), spk_embed_dim=3, gin_channels=4,
-        sr=16000, encoder_dim=24, use_f0=use_f0, weight_norm=False)
+        upsample_kernel_sizes=(8, 8), spk_embed_dim=spk_embed_dim,
+        gin_channels=4, sr=16000, encoder_dim=24, use_f0=use_f0,
+        weight_norm=False)
 
 
 def test_synthesizer_onnx_parity(tmp_path, rng):
@@ -214,3 +215,67 @@ def test_hubert_onnx_tiny(tmp_path, rng):
     got = np.asarray(mod(np.asarray(wav)))
     want = np.asarray(hub.apply(variables, wav))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_synthesizer_onnx_spkmix(tmp_path, rng):
+    """Speaker-mix export (reference spkmixmap, rvc/onnx/synthesizer.py:60):
+    ds becomes per-frame float mixing weights over the embedding table.
+    A one-hot mix must reproduce the plain single-speaker graph, and a
+    2-speaker morph must run and differ from both endpoints."""
+    from tpu_rvc.pipeline.onnx_infer import OnnxRVC
+
+    syn = _tiny_synth(spk_embed_dim=2)
+    T = 12
+    phone = jnp.asarray(rng.standard_normal((1, T, 24)), jnp.float32)
+    pitch = jnp.asarray(rng.integers(1, 255, (1, T)), jnp.int32)
+    pitchf = jnp.asarray(100 + 50 * rng.random((1, T)), jnp.float32)
+    rnd = jnp.asarray(rng.standard_normal((1, T, 8)), jnp.float32)
+    variables = syn.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        phone, jnp.asarray([T]), jnp.zeros((1,), jnp.int32), pitch, pitchf,
+        method=syn.infer)
+
+    p = str(tmp_path / "mix.onnx")
+    export_synthesizer_onnx(syn, variables, T=T, path=p, spk_mix=True)
+    mod = OnnxModule.from_file(p)
+    # ds declared float (1, T, n_speakers)
+    assert mod.graph.input_info["ds"][1] == (1, T, 2)
+
+    def run(mix):
+        return np.asarray(mod(np.asarray(phone), np.asarray([T], np.int64),
+                              np.asarray(pitch, np.int64),
+                              np.asarray(pitchf),
+                              np.asarray(mix, np.float32),
+                              np.asarray(rnd)))
+
+    onehot0 = np.zeros((1, T, 2), np.float32); onehot0[..., 0] = 1
+    onehot1 = np.zeros((1, T, 2), np.float32); onehot1[..., 1] = 1
+    out0 = run(onehot0)
+    out1 = run(onehot1)
+    # one-hot == the plain single-speaker inference path
+    want0 = np.asarray(syn.apply(
+        variables, phone, jnp.asarray([T]), jnp.zeros((1,), jnp.int32),
+        pitch, pitchf, noise=rnd, noise_scale=1.0, deterministic=True,
+        method=syn.infer))
+    np.testing.assert_allclose(out0, want0, atol=2e-5)
+    assert np.abs(out0 - out1).max() > 1e-4  # speakers differ
+
+    # mid-utterance morph: first half speaker 0, second half speaker 1
+    morph = np.concatenate([onehot0[:, :T // 2], onehot1[:, T // 2:]],
+                           axis=1)
+    outm = run(morph)
+    assert outm.shape == out0.shape
+    assert np.isfinite(outm).all()
+    assert np.abs(outm - out0).max() > 1e-5
+    assert np.abs(outm - out1).max() > 1e-5
+
+    # OnnxRVC detects the mix contract and feeds ds as float
+    rvc = OnnxRVC(p, hop_len=20, model_sr=800)
+    assert rvc.spk_mix and rvc.n_speakers == 2
+    out = rvc.forward(np.asarray(phone), T, np.asarray(pitch),
+                      np.asarray(pitchf), morph, np.asarray(rnd))
+    assert out.dtype == np.int16
+    # forward() runs the whole-graph XLA jit; run() above used the per-op
+    # executor — allow 1 LSB of int16 rounding skew between the two
+    want = (outm.reshape(-1) * 32767).astype(np.int16)
+    assert np.abs(out.astype(np.int32) - want.astype(np.int32)).max() <= 1

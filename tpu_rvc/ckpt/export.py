@@ -91,7 +91,8 @@ def load_exported(path: str) -> LoadedExport:
     return LoadedExport(payload)
 
 
-def export_onnx(model_path: str, out_path: str, T: int = 200) -> str:
+def export_onnx(model_path: str, out_path: str, T: int = 200,
+                spk_mix: bool = False) -> str:
     """Export an RVC small model to ONNX (reference rvc/onnx/exporter.py:6).
 
     Torch-free and onnx-package-free: the `.pth` is read by the native
@@ -104,5 +105,6 @@ def export_onnx(model_path: str, out_path: str, T: int = 200) -> str:
     from tpu_rvc.ckpt.jax2onnx import export_synthesizer_onnx
 
     synth, variables, _meta = load_synthesizer(model_path)
-    export_synthesizer_onnx(synth, variables, T=T, path=out_path)
+    export_synthesizer_onnx(synth, variables, T=T, path=out_path,
+                            spk_mix=spk_mix)
     return "Finished"

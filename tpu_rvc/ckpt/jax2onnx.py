@@ -719,7 +719,8 @@ def export_fn_to_onnx(
 
 
 def export_synthesizer_onnx(synth, variables, *, T: int = 200,
-                            path: Optional[str] = None) -> bytes:
+                            path: Optional[str] = None,
+                            spk_mix: bool = False) -> bytes:
     """Export a synthesizer to ONNX with the reference's I/O contract
     (rvc/onnx/exporter.py:24-28,34-47): inputs phone/phone_lengths/pitch/
     pitchf/ds/rnd -> audio, noise supplied externally via `rnd`.
@@ -730,8 +731,52 @@ def export_synthesizer_onnx(synth, variables, *, T: int = 200,
       int64); an entry Cast narrows them to the graph's int32.
     - rnd is channel-last (1, T, inter_channels) — the tpu_rvc layout
       convention — where the torch reference uses (1, 192, T).  This is
-      the one deliberate divergence (documented in PARITY.md)."""
+      the one deliberate divergence (documented in PARITY.md).
+
+    spk_mix=True exports the speaker-mix variant (reference
+    rvc/onnx/synthesizer.py:60 construct_spkmixmap): the `ds` input
+    becomes float32 (1, T, n_speakers) per-frame mixing weights over the
+    speaker embedding table instead of an int id, so consumers can morph
+    between speakers mid-utterance."""
     inter = synth.inter_channels
+
+    if spk_mix:
+        S = synth.spk_embed_dim
+        if synth.use_f0:
+            def fwd(variables, phone, phone_lengths, pitch, pitchf, ds, rnd):
+                return synth.apply(variables, phone, phone_lengths, ds,
+                                   pitch, pitchf, noise=rnd,
+                                   method=synth.infer_mix)
+            inputs = (
+                jnp.zeros((1, T, synth.encoder_dim), jnp.float32),
+                jnp.asarray([T], jnp.int32),
+                jnp.zeros((1, T), jnp.int32),
+                jnp.zeros((1, T), jnp.float32),
+                jnp.zeros((1, T, S), jnp.float32),
+                jnp.zeros((1, T, inter), jnp.float32),
+            )
+            input_names = ["phone", "phone_lengths", "pitch", "pitchf",
+                           "ds", "rnd"]
+        else:
+            def fwd(variables, phone, phone_lengths, ds, rnd):
+                return synth.apply(variables, phone, phone_lengths, ds,
+                                   noise=rnd, method=synth.infer_mix)
+            inputs = (
+                jnp.zeros((1, T, synth.encoder_dim), jnp.float32),
+                jnp.asarray([T], jnp.int32),
+                jnp.zeros((1, T, S), jnp.float32),
+                jnp.zeros((1, T, inter), jnp.float32),
+            )
+            input_names = ["phone", "phone_lengths", "ds", "rnd"]
+        int64_in = {n: np.int64 for n in input_names
+                    if n in ("phone_lengths", "pitch")}
+        data = export_fn_to_onnx(fwd, variables, inputs, input_names,
+                                 ["audio"],
+                                 input_dtype_overrides=int64_in)
+        if path is not None:
+            with open(path, "wb") as f:
+                f.write(data)
+        return data
 
     if synth.use_f0:
         def fwd(variables, phone, phone_lengths, pitch, pitchf, ds, rnd):

@@ -89,19 +89,26 @@ class Synthesizer(nn.Module):
         return self.emb_g(sid)[:, None, :]  # (B, 1, gin)
 
     def __call__(self, phone, phone_lengths, y, y_lengths, ds,
-                 pitch=None, pitchf=None):
-        """Training forward (reference synthesizers.py:132)."""
+                 pitch=None, pitchf=None, ids_slice=None, noise_eps=None,
+                 deterministic: bool = False):
+        """Training forward (reference synthesizers.py:132).
+
+        ids_slice / noise_eps / deterministic pin every stochastic term
+        (latent slice start, posterior eps, sine rand-phase/noise) so
+        step-level loss parity vs the reference torch trainer is testable
+        on identical draws (train.py:508-602 role)."""
         g = self._speaker(ds)
         m_p, logs_p, x_mask = self.enc_p(phone, pitch, phone_lengths)
-        z, m_q, logs_q, y_mask = self.enc_q(y, y_lengths, g=g)
+        z, m_q, logs_q, y_mask = self.enc_q(y, y_lengths, g=g, eps=noise_eps)
         z_p = self.flow(z, y_mask, g=g)
 
         # random latent slice (reference rand_slice_segments_on_last_dim)
         seg_frames = self.segment_size // math.prod(self.upsample_rates)
-        key = self.make_rng("slice")
-        max_start = jnp.maximum(y_lengths - seg_frames - 1, 1)
-        ids_slice = (jax.random.uniform(key, (z.shape[0],)) *
-                     max_start.astype(jnp.float32)).astype(jnp.int32)
+        if ids_slice is None:
+            key = self.make_rng("slice")
+            max_start = jnp.maximum(y_lengths - seg_frames - 1, 1)
+            ids_slice = (jax.random.uniform(key, (z.shape[0],)) *
+                         max_start.astype(jnp.float32)).astype(jnp.int32)
 
         def take(t, start):  # t: (T, C) or (T,)
             return jax.lax.dynamic_slice_in_dim(t, start, seg_frames, axis=0)
@@ -109,9 +116,10 @@ class Synthesizer(nn.Module):
         z_slice = jax.vmap(take)(z, ids_slice)
         if self.use_f0 and pitchf is not None:
             pitchf_slice = jax.vmap(take)(pitchf, ids_slice)
-            o = self.dec(z_slice, pitchf_slice, g=g)
+            o = self.dec(z_slice, pitchf_slice, g=g,
+                         deterministic=deterministic)
         else:
-            o = self.dec(z_slice, g=g)
+            o = self.dec(z_slice, g=g, deterministic=deterministic)
         return o, ids_slice, x_mask, y_mask, (z, z_p, m_p, logs_p, m_q, logs_q)
 
     def infer(self, phone, phone_lengths, sid, pitch=None, pitchf=None,
@@ -160,6 +168,27 @@ class Synthesizer(nn.Module):
         else:
             o = self.dec(z * x_mask, g=g, n_res=return_length2)
         return o
+
+    def infer_mix(self, phone, phone_lengths, g_mix, pitch=None, pitchf=None,
+                  noise=None):
+        """Speaker-MIX inference (reference rvc/onnx/synthesizer.py:60-81
+        construct_spkmixmap + forward): instead of one integer sid, `g_mix`
+        (B, T, n_speakers) gives per-frame mixing weights over the speaker
+        embedding table, so exported graphs can morph between speakers
+        mid-utterance.  The conditioning vector becomes time-varying
+        (B, T, gin) — every cond_layer is a 1x1 conv, so per-frame g
+        broadcasts through WN/flow/decoder unchanged.  Noise is external
+        (`rnd` in the ONNX contract) and the decoder is deterministic,
+        matching the reference's export forward."""
+        emb = self.emb_g.embedding  # (n_speakers, gin)
+        g = jnp.einsum("bts,sh->bth", g_mix, emb.astype(g_mix.dtype))
+        m_p, logs_p, x_mask = self.enc_p(phone, pitch, phone_lengths)
+        eps = noise if noise is not None else jnp.zeros_like(m_p)
+        z_p = (m_p + jnp.exp(logs_p) * eps) * x_mask
+        z = self.flow(z_p, x_mask, g=g, reverse=True)
+        if self.use_f0 and pitchf is not None:
+            return self.dec(z * x_mask, pitchf, g=g, deterministic=True)
+        return self.dec(z * x_mask, g=g, deterministic=True)
 
 
 def make_synthesizer(hp: HParams, weight_norm: bool = True,

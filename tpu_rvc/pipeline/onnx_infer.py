@@ -64,15 +64,22 @@ class OnnxRVC:
         self.t_model = int(info[1][1]) if info else None
         self.inter = int(self.model.graph.input_info["rnd"][1][-1]) \
             if "rnd" in self.model.graph.input_info else 192
+        # speaker-mix graphs (reference spkmixmap, rvc/onnx/synthesizer.py:60)
+        # declare ds as float (1, T, n_speakers) instead of int (1,)
+        ds_info = self.model.graph.input_info.get("ds")
+        self.spk_mix = bool(ds_info and len(ds_info[1]) == 3)
+        self.n_speakers = int(ds_info[1][-1]) if self.spk_mix else None
 
     def forward(self, hubert, hubert_length, pitch, pitchf, ds, rnd):
         """Raw graph invocation; returns int16 audio
         (reference infer.py:97-118 scales by 32767)."""
+        ds = (np.asarray(ds, np.float32) if self.spk_mix
+              else np.asarray(ds, np.int32))
         out = np.asarray(self._fn(
             hubert.astype(np.float32),
             np.asarray([hubert_length], np.int32),
             pitch.astype(np.int32), pitchf.astype(np.float32),
-            np.asarray(ds, np.int32), rnd.astype(np.float32)))
+            ds, rnd.astype(np.float32)))
         return (out.reshape(-1) * 32767).astype(np.int16)
 
     def infer(self, wav: np.ndarray, wav_sr: int, sid: int = 0,
@@ -114,7 +121,27 @@ class OnnxRVC:
 
         rnd = np.random.default_rng(seed).standard_normal(
             (1, hubert_length, self.inter)).astype(np.float32)
-        ds = np.asarray([sid], np.int32)
+        if self.spk_mix:
+            # sid may be an int (one-hot mix), a (n_speakers,) static mix,
+            # or a (T, n_speakers) per-frame mix trajectory
+            if np.isscalar(sid) or np.ndim(sid) == 0:
+                mix = np.zeros((1, hubert_length, self.n_speakers),
+                               np.float32)
+                mix[:, :, int(sid)] = 1.0
+            else:
+                sid = np.asarray(sid, np.float32)
+                if sid.ndim == 1:
+                    mix = np.broadcast_to(
+                        sid, (1, hubert_length, self.n_speakers)).copy()
+                else:
+                    mix = sid[None, :hubert_length]
+                    if mix.shape[1] < hubert_length:
+                        mix = np.pad(mix, ((0, 0),
+                                           (0, hubert_length - mix.shape[1]),
+                                           (0, 0)), mode="edge")
+            ds = mix
+        else:
+            ds = np.asarray([sid], np.int32)
 
         out = self.forward(feats, hubert_length, pitch, pitchf, ds, rnd)
         out = np.pad(out, (0, 2 * self.hop_len))
