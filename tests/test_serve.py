@@ -230,3 +230,164 @@ def test_tcp_server_end_to_end(sched, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+@pytest.mark.slow
+def test_scheduler_soak_sustained_churn(sched):
+    """Endurance: hundreds of ticks at capacity with random attach/detach,
+    late submits (deliberate starvation), and per-slot phase-continuous
+    input.  Invariants checked EVERY tick: bounded input/output queues,
+    underruns only on deliberately starved slots.  At the end: SOLA seam
+    continuity — block-boundary sample jumps must look like within-block
+    jumps, not discontinuities (reference gui.py:1057-1090 SOLA role)."""
+    rng = np.random.default_rng(2024)
+    clk = sched.test_clock
+    bf = sched.block_frame
+    sr = sched.sr
+    n_ticks = 320
+    max_queue = 6 * bf
+
+    class Client:
+        def __init__(self, slot, hz):
+            self.slot = slot
+            self.hz = hz
+            self.sent = 0          # samples submitted (phase-continuous)
+            self.got = np.zeros(0, np.float32)
+            self.starved_ticks = 0
+            self.fed_blocks = 0
+            self.late = False
+
+        def chunk(self, n):
+            t = (np.arange(self.sent, self.sent + n)) / sr
+            self.sent += n
+            return (0.5 * np.sin(2 * np.pi * self.hz * t)).astype(np.float32)
+
+    clients = {}
+    finished = []
+    clean = None
+    attach_fail_ok = 0
+    for tick in range(n_ticks):
+        # churn: sometimes detach, sometimes attach (target: at capacity);
+        # slot of the first-ever client ("clean") is exempt from detach
+        # and starvation so the seam check always has a long clean stream
+        churnable = [s for s in clients
+                     if clients[s] is not clean or tick > n_ticks - 40]
+        if churnable and rng.random() < 0.03:
+            slot = rng.choice(churnable)
+            finished.append(clients.pop(slot))
+            sched.detach(slot)
+        while len(clients) < sched.n_slots and rng.random() < 0.7:
+            try:
+                slot = sched.attach()
+            except RuntimeError:
+                attach_fail_ok += 1
+                break
+            clients[slot] = Client(slot, hz=float(rng.integers(150, 400)))
+            if clean is None:
+                clean = clients[slot]
+        # feed at exact realtime rate: normally one block per tick; a
+        # "late submit" skips a tick and catches up with 2 blocks on the
+        # next (models client latency without exceeding realtime rate)
+        for c in clients.values():
+            if c.late:
+                sched.submit(c.slot, c.chunk(2 * bf))
+                c.fed_blocks += 2
+                c.late = False
+            elif c is not clean and rng.random() < 0.10:
+                c.starved_ticks += 1          # late submit: starve this tick
+                c.late = True
+            else:
+                sched.submit(c.slot, c.chunk(bf))
+                c.fed_blocks += 1
+        clk.t += sched.block_time            # realtime cadence
+        if sched.ready():
+            sched.tick()
+        for c in clients.values():
+            c.got = np.concatenate([c.got, sched.collect(c.slot)])
+        # ---- invariants every tick ----
+        for s in range(sched.n_slots):
+            assert len(sched._in_buf[s]) < max_queue, \
+                f"tick {tick}: slot {s} input queue grew to " \
+                f"{len(sched._in_buf[s])}"
+            assert len(sched._out_buf[s]) < max_queue
+        st = sched.stats()
+        for s in range(sched.n_slots):
+            if s in clients and clients[s].starved_ticks == 0:
+                assert st["underruns"][s] == 0, \
+                    f"tick {tick}: underrun on never-starved slot {s}"
+
+    # drain + release
+    for c in list(clients.values()):
+        finished.append(c)
+        sched.detach(c.slot)
+    # long-lived, never-starved clients: output flows and seams are smooth
+    checked = 0
+    for c in finished:
+        if c.fed_blocks < 20 or c.starved_ticks or len(c.got) < 10 * bf:
+            continue
+        out = c.got
+        assert np.isfinite(out).all()
+        assert np.abs(out[5 * bf:]).max() > 0   # stream actually carried
+        d = np.abs(np.diff(out))
+        idx = np.arange(len(d))
+        at_seam = (idx + 1) % bf == 0
+        within = d[~at_seam & (idx > 2 * bf)]
+        seams = d[at_seam & (idx > 2 * bf)]
+        if len(seams) < 5:
+            continue
+        p99_within = np.quantile(within, 0.99)
+        # SOLA + crossfade: a seam jump must look like an ordinary jump
+        assert seams.max() <= max(6 * p99_within, 1e-3), \
+            f"seam discontinuity: {seams.max():.4f} vs within-p99 " \
+            f"{p99_within:.4f}"
+        checked += 1
+    assert checked >= 1, "soak never produced a checkable long stream"
+    # scheduler is reusable after the soak (no leaked slot state)
+    s2 = sched.attach()
+    sched.detach(s2)
+
+
+@pytest.mark.slow
+def test_stream_session_soak_slider_churn(engine):
+    """StreamSession endurance under park/restore churn: ~100 blocks with
+    periodic mid-stream slider changes (key, index_rate, formant on/off —
+    formant parks the fused graph, neutral restores it).  The stream must
+    stay finite and flowing through every transition (reference
+    gui.py:518-592 slider events)."""
+    from tpu_rvc.pipeline.rt import StreamSession
+
+    sess = StreamSession(engine, samplerate=16000, block_time=0.16,
+                         crossfade_time=0.04, extra_time=0.5,
+                         f0method="pm", rms_mix_rate=1.0)
+    had_fused = sess._fused is not None
+    bf = sess.block_frame
+    rng = np.random.default_rng(7)
+    n_blocks = 100
+    t = np.arange(n_blocks * bf) / 16000.0
+    audio = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    park_cycles = 0
+    outs = []
+    for i in range(n_blocks):
+        if i and i % 10 == 0:
+            r = rng.random()
+            if r < 0.4:
+                sess.set_key(float(rng.integers(-6, 7)))
+            elif r < 0.7:
+                sess.set_formant(1.0)      # parks the fused graph
+                park_cycles += 1
+            else:
+                sess.set_formant(0.0)      # restores it
+        out = sess.feed(audio[i * bf:(i + 1) * bf])
+        assert out.shape[0] == bf
+        assert np.isfinite(out).all(), f"block {i} not finite"
+        outs.append(out)
+    sess.set_formant(0.0)
+    out = sess.feed(audio[:bf])
+    assert np.isfinite(out).all()
+    if had_fused:
+        assert sess._fused is not None    # restored after churn
+    assert park_cycles >= 2
+    full = np.concatenate(outs)
+    assert np.abs(full[10 * bf:]).max() > 0
+    engine.set_key(0.0)
+    engine.set_formant(0.0)

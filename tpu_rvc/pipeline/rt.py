@@ -580,8 +580,12 @@ def sola_merge(infer_wav: np.ndarray, sola_buffer: np.ndarray,
     need = block_frame + sola_buffer_frame + sola_search_frame
     if len(infer_wav) < need:
         infer_wav = np.pad(infer_wav, (0, need - len(infer_wav)))
-    n = sola_buffer_frame + sola_search_frame
-    conv_input = infer_wav[:n + 1]
+    # search window is EXACTLY buffer+search samples (gui.py:1058-1060):
+    # valid-mode correlation then yields search+1 candidate offsets, so
+    # sola_offset <= sola_search_frame and infer_wav[sola_offset:] always
+    # retains >= block+buffer samples — one sample more and the seam
+    # buffer for the NEXT block comes up short (soak-test regression)
+    conv_input = infer_wav[:sola_buffer_frame + sola_search_frame]
     cor_nom = np.correlate(conv_input, sola_buffer, mode="valid")
     sq = np.convolve(conv_input ** 2,
                      np.ones(sola_buffer_frame), mode="valid")

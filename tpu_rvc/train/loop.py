@@ -104,7 +104,8 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
                  pretrain_g: str = "", pretrain_d: str = "",
                  name: str = "model", author: str = "",
                  cache_in_hbm: bool = False,
-                 log_fn=None, tensorboard: bool = True) -> Dict[str, Any]:
+                 log_fn=None, tensorboard: bool = True,
+                 mesh=None) -> Dict[str, Any]:
     """Fine-tune on a prepared experiment dir; returns final metrics.
 
     cache_in_hbm: after the first epoch, keep every (already sharded)
@@ -129,7 +130,12 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
         write_filelist(exp_dir, hp.version, if_f0, spk_id, sr_tag)
     ds = RVCDataset(filelist, hp, if_f0=if_f0)
     bs = batch_size or hp.train.batch_size
-    mesh = make_mesh()
+    # mesh override: a 1-device mesh opts out of collectives — needed on
+    # hosts where N virtual CPU devices share one core (the in-process
+    # collective rendezvous hard-aborts when a participant is >40 s late,
+    # which serialized big per-device work can hit)
+    if mesh is None:
+        mesh = make_mesh()
     n_data = mesh.shape["data"]
     bs = max(bs // n_data * n_data, n_data)  # divisible by data axis
     batcher = BucketBatcher(ds, bs, seed=hp.train.seed)
