@@ -93,13 +93,23 @@ class Pipeline:
                  version: str = "v2", x_pad: float = 3.0, x_query: float = 10.0,
                  x_center: float = 60.0, x_max: float = 65.0,
                  rmvpe_root: str = "assets/rmvpe", is_half: bool = True,
-                 dtype=jnp.float32, aot_cache=None):
+                 dtype=jnp.float32, aot_cache=None,
+                 noise_scale: float = 0.66666,
+                 deterministic: bool = False):
         self.tgt_sr = tgt_sr
         # optional utils.aot.AOTGraphCache: fused conversion graphs are
         # StableHLO-serialized per (config, bucket) and reloaded without
         # retracing on the next process start (reference jit-cache role,
         # rvc/jit/jit.py:58)
         self.aot_cache = aot_cache
+        # prior noise scale baked into the conversion graphs; 0.0 makes
+        # the conversion deterministic (oracle MCD comparisons vs the
+        # reference with torch.randn_like zeroed)
+        self.noise_scale = float(noise_scale)
+        # deterministic=True additionally zeroes the NSF source's random
+        # harmonic phase and additive noise (SineGenerator) — required for
+        # bit-comparable oracle runs; leave False in production
+        self.deterministic = bool(deterministic)
         self.version = version
         self.hubert, self.hubert_vars = hubert, hubert_vars
         self.synth, self.synth_vars = synth, synth_vars
@@ -157,6 +167,8 @@ class Pipeline:
                     sid[None],
                     pitch[None] if use_f0 else None,
                     pitchf[None].astype(self.dtype) if use_f0 else None,
+                    noise_scale=self.noise_scale,
+                    deterministic=self.deterministic,
                     method=self.synth.infer,
                     rngs={"noise": noise_key},
                 )
@@ -236,7 +248,8 @@ class Pipeline:
             sig = _tree_shape_sig((self.hubert_vars, self.synth_vars))
             fn = self.aot_cache.wrap(
                 f"vc_full|{self.version}|{self.tgt_sr}|"
-                f"{jnp.dtype(self.dtype).name}|{sig}|{key}", fn)
+                f"{jnp.dtype(self.dtype).name}|{sig}|{key}|"
+                f"ns={self.noise_scale}|det={self.deterministic}", fn)
         self._graphs[key] = fn
         return self._graphs[key]
 

@@ -32,12 +32,26 @@ def mel_cepstra(wav: np.ndarray, sr: int, n_mfcc: int = 13,
 
 
 def mcd(wav1: np.ndarray, wav2: np.ndarray, sr: int,
-        n_mfcc: int = 13) -> float:
+        n_mfcc: int = 13, energy_floor: float = 0.0) -> float:
     """Mean MCD in dB over aligned frames (no DTW; inputs are time-aligned
-    outputs of two implementations on identical inputs)."""
+    outputs of two implementations on identical inputs).
+
+    energy_floor > 0 excludes frames whose reference (wav2) RMS is below
+    it — the standard speech-frame gate: in digital silence the residual
+    is quantization noise, whose log-spectral distance is unbounded and
+    says nothing about model parity."""
     n = min(len(wav1), len(wav2))
     c1 = mel_cepstra(np.asarray(wav1[:n], np.float64), sr, n_mfcc)
     c2 = mel_cepstra(np.asarray(wav2[:n], np.float64), sr, n_mfcc)
+    if energy_floor > 0.0:
+        hop, win = 256, 1024
+        ref = np.asarray(wav2[:n], np.float64)
+        f = min(len(c1), len(c2))
+        rms = np.asarray([np.sqrt((ref[i * hop:i * hop + win] ** 2).mean())
+                          for i in range(f)])
+        keep = rms >= energy_floor
+        if keep.any():
+            c1, c2 = c1[:f][keep], c2[:f][keep]
     f = min(len(c1), len(c2))
     diff = c1[:f, 1:] - c2[:f, 1:]  # exclude c0 (energy)
     per_frame = np.sqrt(2.0 * np.sum(diff ** 2, axis=1))
