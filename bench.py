@@ -188,9 +188,12 @@ def main():
             "BENCH_BREAKDOWN_SMOKE.json" if smoke else "BENCH_BREAKDOWN.json")
         with open(path, "w") as f:
             json.dump(breakdown, f, indent=2)
-        print(f"[bench] stage split (ms): "
-              + ", ".join(f"{k}={v}" for k, v in
-                          breakdown["stages_ms"].items()), file=sys.stderr)
+        print("[bench] stage split ms (amortized | dispatch-inclusive): "
+              + ", ".join(
+                  f"{k}={breakdown['stages_ms_amortized'].get(k, '-')}"
+                  f"|{v}" for k, v in
+                  breakdown["stages_ms_dispatch_inclusive"].items()),
+              file=sys.stderr)
     except Exception as e:  # never let the artifact break the headline
         print(f"[bench] breakdown failed: {e}", file=sys.stderr)
 
@@ -212,13 +215,26 @@ def _stage_breakdown(pipe, audio, dur_s, out_dev, n=5, f0_method="rmvpe"):
     from tpu_rvc.f0.device import pm_f0_device, rmvpe_f0_device
 
     def timeit(fn):
+        """Two columns per stage (round-2 review ask):
+        - dispatch-inclusive: median wall of dispatch + fetch (adds tunnel
+          RTT + D2H; what a caller sees for ONE isolated call)
+        - amortized: 8 back-to-back async dispatches, one fetch of the
+          last — wall/8 approximates the on-chip steady-state cost the
+          fused pipeline pays per stage."""
         fn()  # compile / warm
         walls = []
         for i in range(n):
             t0 = time.time()
             np.asarray(fn())
             walls.append(time.time() - t0)
-        return round(statistics.median(walls) * 1000, 1)
+        reps = 8
+        t0 = time.time()
+        outs = [fn() for _ in range(reps)]
+        np.asarray(outs[-1])
+        amortized = (time.time() - t0) / reps
+        del outs
+        return (round(statistics.median(walls) * 1000, 1),
+                round(amortized * 1000, 1))
 
     dtype = pipe.dtype
     L16 = len(audio)
@@ -259,11 +275,15 @@ def _stage_breakdown(pipe, audio, dur_s, out_dev, n=5, f0_method="rmvpe"):
         d2h.append(time.time() - t0)
     t_d2h = round(statistics.median(d2h) * 1000, 1)
 
+    stages = {"hubert": t_hub, f"{f0_method}_f0": t_f0, "synth": t_syn}
     return {"utterance_s": dur_s,
-            "stages_ms": {"hubert": t_hub, f"{f0_method}_f0": t_f0,
-                          "synth": t_syn, "d2h_int16": t_d2h},
-            "note": "separate dispatches, fetch-inclusive medians of "
-                    f"{n}; the fused pipeline overlaps these"}
+            "stages_ms_dispatch_inclusive": {
+                k: v[0] for k, v in stages.items()} | {"d2h_int16": t_d2h},
+            "stages_ms_amortized": {k: v[1] for k, v in stages.items()},
+            "note": "dispatch-inclusive = one dispatch + fetch (tunnel "
+                    "RTT + D2H included); amortized = 8 async dispatches "
+                    "/ one fetch, approximating on-chip steady-state — "
+                    "the fused pipeline pays the amortized column"}
 
 
 if __name__ == "__main__":
