@@ -661,6 +661,18 @@ class FusedStreamGraph:
                          in_axes=(None, None, None, 0, 0, None, None, None,
                                   None, None, 0, 0)),
                 donate_argnums=(3,))
+        if engine.aot_cache is not None:
+            # warm-start the serving graph too (reference jit-cache role);
+            # if jax.export rejects the donated state arg the wrapper
+            # falls back to plain jit, never failing the hot path
+            from tpu_rvc.utils.aot import _tree_shape_sig
+            sig = _tree_shape_sig((engine.hubert_vars, engine.synth_vars))
+            self._jit = engine.aot_cache.wrap(
+                f"fused_stream|{engine.version}|{engine.tgt_sr}|"
+                f"{jnp.dtype(engine.dtype).name}|{sig}|{n_streams}|"
+                f"{stream_sr}|{block_frame}|{ctx_frame}|{total_len}|"
+                f"{skip_head}|{return_length}|{self.f0method}|{protect}",
+                self._jit)
         self._step = 0
 
     def init_state(self):
