@@ -1,0 +1,448 @@
+#!/usr/bin/env python
+"""ONE command covering all five BASELINE.md tracked configs; writes
+BENCH_CONFIGS.json at the repo root.
+
+  1. 10 s WAV, HuBERT + v2/40k synthesizer, f0=pm, no retrieval
+     (the reference's CPU-config parity case)
+  2. Full quality: v2/48k, RMVPE f0 in-graph, top-8 retrieval over a
+     10k x 768 HBM index, index_rate 0.75 (bench.py's headline)
+  3. Batch folder inference at 48 kHz including UVR5 separation
+     preprocessing (reference web.py uvr + vc_multi flow)
+  4. Realtime streaming voice changer: 160 ms blocks through the fused
+     single-dispatch stream graph, p50/p90 block wall
+  5. v2/48k fine-tune training throughput, amplified (R steps inside one
+     jit via lax.scan, on-device steady state) AND dispatch-inclusive
+     (one step per dispatch + fetch) — both columns recorded so stage
+     numbers self-describe.
+
+Weights are random-init throughout (no pretrained assets reachable —
+ASSETS_r03.json); FLOPs/memory traffic are identical to trained weights.
+Each config is isolated: a failure records an "error" entry instead of
+killing the artifact.  Warm-start caches (utils/aot.py) are enabled, so
+re-runs skip the remote compiles; the artifact records cache state.
+
+Usage: python benchmarks/all_configs.py [--smoke]
+"""
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+SMOKE = "--smoke" in sys.argv
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _dtype():
+    import jax
+    import jax.numpy as jnp
+    if SMOKE:
+        return jnp.float32
+    return (jnp.bfloat16 if jax.devices()[0].platform != "cpu"
+            else jnp.float32)
+
+
+def _models(sr: int, aot_cache=None):
+    """Random-init v2 hubert+synth pipeline at target sr."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_rvc.core.config import hparams_for
+    from tpu_rvc.models.synthesizer import make_synthesizer
+    from tpu_rvc.models.hubert import hubert_for_version, Hubert
+    from tpu_rvc.pipeline.vc import Pipeline
+
+    hp = hparams_for("v2", sr)
+    if SMOKE:
+        import dataclasses
+        hp = dataclasses.replace(hp, model=dataclasses.replace(
+            hp.model, inter_channels=32, hidden_channels=32,
+            filter_channels=64, n_heads=2, n_layers=1,
+            upsample_initial_channel=64))
+        hub = Hubert(output_layer=1, final_proj=False, embed=768, ffn_dim=64,
+                     n_heads=2, pos_conv_k=16, pos_conv_groups=2,
+                     conv_layers=((32, 10, 5), (32, 4, 4), (32, 4, 4),
+                                  (32, 2, 2), (32, 2, 2)))
+    else:
+        hub = hubert_for_version("v2")
+    hv = hub.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))
+    syn = make_synthesizer(hp, weight_norm=False, use_f0=True)
+    T0 = 50
+    sv = syn.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, T0, 768)), jnp.asarray([T0]), jnp.asarray([0]),
+        jnp.zeros((1, T0), jnp.int32), jnp.zeros((1, T0)),
+        method=syn.infer)
+    pipe = Pipeline(sr, hubert=hub, hubert_vars=hv, synth=syn,
+                    synth_vars=sv, version="v2", dtype=_dtype(),
+                    aot_cache=aot_cache)
+    return hp, pipe
+
+
+def _tone(dur_s: float, sr: int = 16000):
+    import numpy as np
+    t = np.arange(int(sr * dur_s)) / sr
+    return (0.4 * np.sin(2 * np.pi * 220 * t) *
+            (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+
+
+def _pipelined_rtf(pipe, audio, dur_s, convert, n_iter, depth):
+    """bench.py's accounting: wall/n INCLUDING the drain."""
+    import collections
+    import numpy as np
+    t0 = time.time()
+    np.asarray(convert())
+    compile_s = time.time() - t0
+    walls = []
+    pending = collections.deque()
+    t_start = time.time()
+    for _ in range(n_iter):
+        t0 = time.time()
+        pending.append(convert(fetch=False))
+        if len(pending) > depth:
+            np.asarray(pending.popleft())
+        walls.append(time.time() - t0)
+    while pending:
+        np.asarray(pending.popleft())
+    total = time.time() - t_start
+    per = total / n_iter
+    return {
+        "rtf": round(dur_s / per, 2),
+        "ms_per_utt_amortized": round(per * 1000, 1),
+        "iter_ms_min": round(min(walls[1:]) * 1000, 1),
+        "iter_ms_median": round(statistics.median(walls[1:]) * 1000, 1),
+        "compile_first_run_s": round(compile_s, 1),
+    }
+
+
+def config1():
+    """pm f0, no retrieval, v2/40k — BASELINE config 1."""
+    _, pipe = _models(40000)
+    dur = 2.0 if SMOKE else 10.0
+    audio = _tone(dur)
+
+    def convert(fetch=True):
+        return pipe.pipeline(0, audio, [0, 0, 0], 0, "pm", None, 0.0, 1,
+                             3, 0, 0.25, 0.33, fetch=fetch)
+
+    n, depth = (3, 1) if SMOKE else (10, 3)
+    out = _pipelined_rtf(pipe, audio, dur, convert, n, depth)
+    out["desc"] = "10s wav, v2/40k, f0=pm, no retrieval, single stream"
+    return out
+
+
+def config2(aot_cache):
+    """Full quality v2/48k + RMVPE + retrieval — BASELINE config 2."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tpu_rvc.retrieval.index import build_index
+
+    _, pipe = _models(48000, aot_cache)
+    f0_method = "pm" if SMOKE else "rmvpe"
+    if not SMOKE:
+        from tpu_rvc.f0.rmvpe import RMVPE
+        from tpu_rvc.models.rmvpe import E2E
+        pipe.f0_gen._estimators["rmvpe"] = RMVPE(
+            variables=E2E().init(jax.random.PRNGKey(3),
+                                 jnp.zeros((1, 128, 32))),
+            dtype=_dtype())
+    index = build_index(np.random.default_rng(0).standard_normal(
+        ((1000 if SMOKE else 10_000), 768)).astype(np.float32))
+    dur = 2.0 if SMOKE else 10.0
+    audio = _tone(dur)
+
+    def convert(fetch=True):
+        return pipe.pipeline(0, audio, [0, 0, 0], 0, f0_method, index,
+                             0.75, 1, 3, 0, 0.25, 0.33, fetch=fetch)
+
+    n, depth = (3, 1) if SMOKE else (12, 3)
+    out = _pipelined_rtf(pipe, audio, dur, convert, n, depth)
+    out["desc"] = ("10s wav, v2/48k, f0=rmvpe in-graph, top-8 retrieval "
+                   "over 10k x 768, index_rate 0.75")
+    return out
+
+
+def config3():
+    """Batch folder @48k incl. UVR5 separation — BASELINE config 3."""
+    import tempfile
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tpu_rvc.models.uvr5 import CascadedASPPNet
+    from tpu_rvc.pipeline.uvr5 import ModelParameters, UVR5Separator
+    from tpu_rvc.audio.io import save_wav
+
+    mp = ModelParameters("4band_v2.json")
+    n_fft = mp.param["bins"] * 2
+    # smoke: small crop offset so short windows still yield >=1 slice
+    model = CascadedASPPNet(n_fft=n_fft, **({"offset": 8} if SMOKE else {}))
+    F = mp.param["bins"] + 1
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, F, 32, 2)))
+    sep = UVR5Separator(model, variables, mp, agg=10, tta=False,
+                        window_size=(32 if SMOKE else 512),
+                        dtype=_dtype())
+
+    _, pipe = _models(48000)
+    n_files = 2 if SMOKE else 4
+    dur = 1.0 if SMOKE else 5.0
+    tmp = tempfile.mkdtemp(prefix="bench_uvr_")
+    files = []
+    for i in range(n_files):
+        p = os.path.join(tmp, f"f{i}.wav")
+        save_wav(p, _tone(dur, mp.param["sr"]), mp.param["sr"])
+        files.append(p)
+
+    # warm both graphs on the first file, then time the folder
+    ins, voc, out_sr = sep.separate(files[0])
+    wav16 = _resample(voc.mean(axis=1), out_sr, 16000)
+    np.asarray(pipe.pipeline(0, wav16, [0, 0, 0], 0, "pm", None, 0.0,
+                             1, 3, 0, 0.25, 0.33))
+    t0 = time.time()
+    total_audio = 0.0
+    for p in files:
+        ins, voc, sr_f = sep.separate(p)
+        wav16 = _resample(voc.mean(axis=1), sr_f, 16000)
+        out = np.asarray(pipe.pipeline(0, wav16, [0, 0, 0], 0, "pm", None,
+                                       0.0, 1, 3, 0, 0.25, 0.33))
+        total_audio += len(out) / 48000.0
+    wall = time.time() - t0
+    return {
+        "desc": f"{n_files} files x {dur:.0f}s: UVR5 4-band separation + "
+                "48k conversion per file",
+        "wall_s": round(wall, 2),
+        "audio_seconds_per_second": round(total_audio / wall, 2),
+        "files_per_min": round(n_files / wall * 60, 1),
+    }
+
+
+def _resample(x, sr_from, sr_to):
+    from tpu_rvc.audio.io import _resample_host
+    import numpy as np
+    return _resample_host(np.asarray(x, np.float32), sr_from, sr_to)
+
+
+def config4():
+    """Streaming 160 ms blocks p50/p90 — BASELINE config 4."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tpu_rvc.core.config import hparams_for
+    from tpu_rvc.models.synthesizer import make_synthesizer
+    from tpu_rvc.models.hubert import hubert_for_version, Hubert
+    from tpu_rvc.pipeline.rt import RealtimeVC, FusedStreamGraph
+
+    hp, pipe = None, None  # build engine pieces directly
+    hub_kw = {}
+    if SMOKE:
+        hub = Hubert(output_layer=1, final_proj=False, embed=768,
+                     ffn_dim=64, n_heads=2, pos_conv_k=16,
+                     pos_conv_groups=2,
+                     conv_layers=((32, 10, 5), (32, 4, 4), (32, 4, 4),
+                                  (32, 2, 2), (32, 2, 2)))
+    else:
+        hub = hubert_for_version("v2")
+    hv = hub.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))
+    hpv = hparams_for("v2", 48000)
+    if SMOKE:
+        import dataclasses
+        hpv = dataclasses.replace(hpv, model=dataclasses.replace(
+            hpv.model, inter_channels=32, hidden_channels=32,
+            filter_channels=64, n_heads=2, n_layers=1,
+            upsample_initial_channel=64))
+    syn = make_synthesizer(hpv, weight_norm=False, use_f0=True)
+    sv = syn.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, 50, 768)), jnp.asarray([50]), jnp.asarray([0]),
+        jnp.zeros((1, 50), jnp.int32), jnp.zeros((1, 50)),
+        method=syn.infer)
+    eng = RealtimeVC(hubert=hub, hubert_vars=hv, synth=syn, synth_vars=sv,
+                     version="v2", if_f0=1, dtype=_dtype())
+    f0method = "pm"
+    if not SMOKE:
+        from tpu_rvc.f0.rmvpe import RMVPE
+        from tpu_rvc.models.rmvpe import E2E
+        eng.f0_gen._estimators["rmvpe"] = RMVPE(
+            variables=E2E().init(jax.random.PRNGKey(3),
+                                 jnp.zeros((1, 128, 32))),
+            dtype=_dtype())
+        f0method = "rmvpe"
+
+    sr = 48000
+    zc = sr // 100
+    block = 16 * zc                        # 160 ms
+    extra = 50 if SMOKE else 250           # smoke: 0.5 s context
+    total = (extra + 16 + 5 + 1) * zc
+    fused = FusedStreamGraph(eng, stream_sr=sr, block_frame=block,
+                             ctx_frame=2 * zc, total_len=total,
+                             skip_head=extra, return_length=16 + 5 + 1,
+                             f0method=f0method, n_streams=1)
+    state = fused.init_state()
+    t = np.arange(block + 2 * zc) / sr
+    seg = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    t0 = time.time()
+    out, state = fused(state, seg)
+    compile_s = time.time() - t0
+    walls = []
+    for _ in range(5 if SMOKE else 30):
+        t0 = time.time()
+        out, state = fused(state, seg)
+        np.asarray(out)
+        walls.append(time.time() - t0)
+    walls = sorted(walls)
+    p50 = statistics.median(walls)
+    p90 = walls[max(int(0.9 * len(walls)) - 1, 0)]
+    return {
+        "desc": "160 ms blocks, fused single-dispatch stream graph, "
+                f"f0={f0method}, extra context {extra * 10} ms",
+        "block_ms": 160.0,
+        "p50_ms": round(p50 * 1000, 1),
+        "p90_ms": round(p90 * 1000, 1),
+        "realtime_ok": bool(p50 < 0.160),
+        "algorithmic_delay_ms": round((16 + 5 + 1) * 10 + 10, 1),
+        "compile_first_run_s": round(compile_s, 1),
+    }
+
+
+def config5():
+    """v2/48k train step throughput — BASELINE config 5."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tpu_rvc.core.config import hparams_for
+    from tpu_rvc.train.step import create_train_state, make_train_step
+
+    hp = hparams_for("v2", 48000)
+    if SMOKE:
+        import dataclasses
+        hp = dataclasses.replace(
+            hp,
+            train=dataclasses.replace(hp.train, segment_size=480 * 8,
+                                      fp16_run=False),
+            model=dataclasses.replace(
+                hp.model, inter_channels=32, hidden_channels=32,
+                filter_channels=64, n_heads=2, n_layers=1,
+                upsample_initial_channel=64))
+    B, T = (2, 48) if SMOKE else (4, 400)
+    R = 2 if SMOKE else 8
+    state, net_g, net_d = create_train_state(hp, jax.random.PRNGKey(0))
+    step = make_train_step(net_g, net_d, hp, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "phone": jnp.asarray(
+            rng.standard_normal((B, T, hp.encoder_dim)), jnp.float32),
+        "phone_lengths": jnp.full((B,), T, jnp.int32),
+        "pitch": jnp.asarray(rng.integers(1, 255, (B, T)), jnp.int32),
+        "pitchf": jnp.asarray(rng.uniform(100, 300, (B, T)), jnp.float32),
+        "spec": jnp.asarray(rng.standard_normal(
+            (B, T, hp.data.spec_channels)) ** 2 * 0.1, jnp.float32),
+        "spec_lengths": jnp.full((B,), T, jnp.int32),
+        "wave": jnp.asarray(rng.standard_normal(
+            (B, T * hp.data.hop_length, 1)) * 0.1, jnp.float32),
+        "sid": jnp.zeros((B,), jnp.int32),
+    }
+
+    # amplified: R steps inside ONE dispatch (on-device steady state)
+    def many(state, batch, key):
+        def body(carry, i):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, metrics = step.__wrapped__(st, batch, sub)
+            return (st, k), metrics["loss_gen_all"]
+        (state, _), losses = jax.lax.scan(body, (state, key),
+                                          jnp.arange(R))
+        return state, losses
+
+    jfn = jax.jit(many)
+    t0 = time.time()
+    _, losses = jfn(state, batch, jax.random.PRNGKey(1))
+    l0 = np.asarray(losses)
+    compile_s = time.time() - t0
+    walls = []
+    for _ in range(3 if SMOKE else 5):
+        t0 = time.time()
+        _, losses = jfn(state, batch, jax.random.PRNGKey(2))
+        np.asarray(losses)
+        walls.append(time.time() - t0)
+    amp_per_step = statistics.median(walls) / R
+
+    # dispatch-inclusive: one step per dispatch, fetch-synced
+    st2, m = step(state, batch, jax.random.PRNGKey(3))
+    float(m["loss_gen_all"])
+    walls1 = []
+    for _ in range(3 if SMOKE else 5):
+        t0 = time.time()
+        st2, m = step(state, batch, jax.random.PRNGKey(4))
+        float(m["loss_gen_all"])
+        walls1.append(time.time() - t0)
+    disp_per_step = statistics.median(walls1)
+
+    utt_s = B * T * hp.data.hop_length / hp.data.sampling_rate
+    return {
+        "desc": f"v2/48k GAN step, B={B}, T={T} frames "
+                f"({T * hp.data.hop_length / hp.data.sampling_rate:.1f}s "
+                "per item)",
+        "amplified_ms_per_step": round(amp_per_step * 1000, 1),
+        "dispatch_inclusive_ms_per_step": round(disp_per_step * 1000, 1),
+        "steps_per_second_amplified": round(1 / amp_per_step, 2),
+        "utterance_seconds_trained_per_second": round(
+            utt_s / amp_per_step, 1),
+        "losses_finite": bool(np.isfinite(l0).all()),
+        "compile_first_run_s": round(compile_s, 1),
+        "note": "amplified = lax.scan of R steps in one dispatch "
+                "(on-device cost); dispatch-inclusive adds tunnel RTT + "
+                "metrics fetch per step",
+    }
+
+
+def main():
+    import jax
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
+    aot_cache = None
+    if not os.environ.get("BENCH_NO_CACHE"):
+        from tpu_rvc.utils.aot import (AOTGraphCache,
+                                       enable_persistent_compilation_cache)
+        cache_dir = enable_persistent_compilation_cache()
+        aot_cache = AOTGraphCache(cache_dir)
+    platform = jax.devices()[0].platform
+
+    results = {
+        "platform": platform,
+        "smoke": SMOKE,
+        "generated_unix": int(time.time()),
+        "note": "random-init weights (FLOP-identical to trained; no "
+                "pretrained assets reachable, see ASSETS_r03.json)",
+    }
+    configs = [
+        ("config1_pm_no_retrieval", config1),
+        ("config2_full_quality", lambda: config2(aot_cache)),
+        ("config3_batch_uvr5_48k", config3),
+        ("config4_streaming_160ms", config4),
+        ("config5_train_throughput", config5),
+    ]
+    for name, fn in configs:
+        t0 = time.time()
+        try:
+            results[name] = fn()
+            results[name]["total_wall_s"] = round(time.time() - t0, 1)
+            print(f"[all_configs] {name}: "
+                  f"{json.dumps(results[name])}", flush=True)
+        except Exception as e:  # isolate failures per config
+            import traceback
+            results[name] = {"error": f"{type(e).__name__}: {e}",
+                             "traceback": traceback.format_exc()[-1500:]}
+            print(f"[all_configs] {name} FAILED: {e}", flush=True)
+    if aot_cache is not None:
+        results["aot_cache"] = aot_cache.stats()
+    out_path = os.path.join(
+        REPO, "BENCH_CONFIGS_SMOKE.json" if SMOKE else "BENCH_CONFIGS.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"[all_configs] wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
