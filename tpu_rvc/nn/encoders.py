@@ -81,8 +81,12 @@ class PosteriorEncoder(nn.Module):
     weight_norm: bool = True
 
     @nn.compact
-    def __call__(self, x, x_lengths, g=None, noise_key=None):
+    def __call__(self, x, x_lengths, g=None, noise_key=None, eps=None):
         # x: (B, T, spec_channels); g: (B, 1, gin)
+        # eps: optional pre-drawn posterior noise (B, T, out_channels) —
+        # pins the reparametrization draw for step-level loss parity vs
+        # the reference trainer (torch.randn_like at reference
+        # encoders.py:190 / train.py:540 role)
         x_mask = sequence_mask(x_lengths, x.shape[1])[..., None].astype(x.dtype)
         h = Conv1d(self.hidden_channels, 1, name="pre")(x) * x_mask
         h = WN(self.hidden_channels, self.kernel_size, self.dilation_rate,
@@ -90,8 +94,11 @@ class PosteriorEncoder(nn.Module):
                name="enc")(h, x_mask, g=g)
         stats = Conv1d(self.out_channels * 2, 1, name="proj")(h) * x_mask
         m, logs = jnp.split(stats, 2, axis=-1)
-        if noise_key is None:
-            noise_key = self.make_rng("noise")
-        eps = jax.random.normal(noise_key, m.shape, m.dtype)
+        if eps is None:
+            if noise_key is None:
+                noise_key = self.make_rng("noise")
+            eps = jax.random.normal(noise_key, m.shape, m.dtype)
+        else:
+            eps = eps.astype(m.dtype)
         z = (m + eps * jnp.exp(logs)) * x_mask
         return z, m, logs, x_mask

@@ -130,6 +130,19 @@ def make_train_step(net_g: Synthesizer, net_d: MultiPeriodDiscriminator,
         # vs TextAudioLoaderMultiNSFsid, data_utils.py)
         pitch_args = ((batch["pitch"], batch["pitchf"].astype(compute_dtype))
                       if net_g.use_f0 else ())
+        # pin_* keys (test/debug only) pin every stochastic draw so one
+        # step is numerically comparable to the reference trainer on
+        # identical inputs (train.py:508-602): latent slice start,
+        # posterior eps; sine rand-phase/noise become zero (the oracle
+        # pins the matching torch draws the same way).  Dict-key presence
+        # is static at trace time.
+        pins = {}
+        if "pin_ids_slice" in batch:
+            pins["ids_slice"] = batch["pin_ids_slice"]
+        if "pin_noise_eps" in batch:
+            pins["noise_eps"] = batch["pin_noise_eps"].astype(compute_dtype)
+        if pins:
+            pins["deterministic"] = True
         return net_g.apply(
             {"params": g_params},
             batch["phone"].astype(compute_dtype),
@@ -139,6 +152,7 @@ def make_train_step(net_g: Synthesizer, net_d: MultiPeriodDiscriminator,
             batch["sid"],
             *pitch_args,
             rngs=rngs,
+            **pins,
         )
 
     def slice_wave(wave, ids_slice):
