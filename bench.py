@@ -133,26 +133,42 @@ def main():
     # number (the metric is audio-seconds per second per chip — the
     # serving posture, same as the depth-1 server loop).
     import collections
+    import concurrent.futures as cf
     import statistics
     n_iter = 4 if smoke else 14
     depth = 2 if smoke else 3
+    # D2H fetches through the tunnel DO overlap each other (measured
+    # 1.5-1.6x with 2 threads, benchmarks/fetch_concurrency.py; 4
+    # threads is worse), so fetches run on a small pool instead of
+    # blocking the dispatch thread.  BENCH_FETCH_THREADS=0 restores the
+    # serial fetch for A/B.
+    n_fetch = int(os.environ.get("BENCH_FETCH_THREADS", "2"))
+    fetch_pool = cf.ThreadPoolExecutor(n_fetch) if n_fetch > 0 else None
     # per-iteration walls, diagnostic only: once the pipeline is full
     # each iteration's wall = dispatch of utterance i + the BLOCKING
     # fetch of utterance i-depth, so these are fetch-dominated — use
     # them to spot tunnel-RTT swings, not dispatch-cost changes
     times = []
     pending = collections.deque()
+    last_dev = None
     t_start = time.time()
-    for _ in range(n_iter):
+    for i in range(n_iter):
         t0 = time.time()
-        pending.append(convert(fetch=False))
+        dev = convert(fetch=False)
+        if i == n_iter - 1:
+            last_dev = dev  # kept for the D2H breakdown below
+        pending.append(fetch_pool.submit(np.asarray, dev)
+                       if fetch_pool is not None else dev)
         if len(pending) > depth:
-            np.asarray(pending.popleft())  # fetch oldest, overlapped
+            oldest = pending.popleft()  # fetch oldest, overlapped
+            oldest.result() if fetch_pool is not None else np.asarray(oldest)
         times.append(time.time() - t0)
-    last_dev = pending[-1]  # kept for the D2H breakdown below
     while pending:
-        np.asarray(pending.popleft())
+        oldest = pending.popleft()
+        oldest.result() if fetch_pool is not None else np.asarray(oldest)
     total = time.time() - t_start
+    if fetch_pool is not None:
+        fetch_pool.shutdown()
     elapsed = total / n_iter
     rtf = dur_s / elapsed
     print(f"[bench] depth-{depth} pipelined: {elapsed * 1000:.1f} ms per "
@@ -171,6 +187,7 @@ def main():
         breakdown.update({
             "platform": platform,
             "pipeline_depth": depth,
+            "fetch_threads": n_fetch,
             "pipelined_ms_amortized": round(elapsed * 1000, 1),
             # iter walls include the blocking fetch of utterance i-depth
             # once the pipeline is full (fetch-dominated, tracks tunnel

@@ -564,32 +564,48 @@ class VC:
 
     def vc_multi(self, sid: int, paths: List[str], out_dir: str, **kwargs):
         """Batch conversion (reference vc_multi, modules.py:201) with
-        depth-1 pipelined fetch: utterance N's D2H transfer overlaps
-        utterance N+1's dispatch (same pattern as bench.py)."""
+        pipelined fetch+save on a 2-thread pool: utterance N's D2H
+        transfer and wav write overlap utterance N+1's host prep and
+        dispatch, and two transfers overlap each other through the
+        tunnel (measured 1.5-1.6x, benchmarks/fetch_concurrency.py).
+        In-flight depth is bounded at 2 to cap device-buffer residency;
+        result lines keep the input order."""
+        import collections
+        import concurrent.futures as cf
         import os
         from tpu_rvc.audio.io import save_audio
 
         os.makedirs(out_dir, exist_ok=True)
         infos = []
-        pending = None  # (base, sr, device-or-host audio, info)
+        pool = cf.ThreadPoolExecutor(2)
+        inflight = collections.deque()  # futures in dispatch order
 
-        def flush(p):
-            base, sr, audio, info = p
+        def flush(base, sr, audio, info):
             save_audio(os.path.join(out_dir, f"{base}.wav"),
                        np.asarray(audio), sr)
-            infos.append(f"{base} -> Success ({info})")
+            return f"{base} -> Success ({info})"
 
-        for path in paths:
-            base = os.path.basename(path)
-            try:
-                info, (sr, audio) = self.vc_single(sid, path, fetch=False,
-                                                   **kwargs)
-            except Exception as e:  # pragma: no cover
-                infos.append(f"{path} -> {e}")
-                continue
-            if pending is not None:
-                flush(pending)
-            pending = (base, sr, audio, info)
-        if pending is not None:
-            flush(pending)
+        def drain(keep: int):
+            while len(inflight) > keep:
+                fut = inflight.popleft()
+                try:
+                    infos.append(fut.result())
+                except Exception as e:  # pragma: no cover
+                    infos.append(f"-> {e}")
+
+        try:
+            for path in paths:
+                base = os.path.basename(path)
+                try:
+                    info, (sr, audio) = self.vc_single(sid, path,
+                                                       fetch=False, **kwargs)
+                except Exception as e:  # pragma: no cover
+                    drain(0)  # keep result order stable
+                    infos.append(f"{path} -> {e}")
+                    continue
+                inflight.append(pool.submit(flush, base, sr, audio, info))
+                drain(2)
+            drain(0)
+        finally:
+            pool.shutdown()
         return "\n".join(infos)
