@@ -201,3 +201,57 @@ def test_web_infer_convert_accepts_chunk_parallel():
     sig = inspect.signature(webmod.Api.infer_convert)
     assert "chunk_parallel" in sig.parameters
     assert sig.parameters["chunk_parallel"].default is False
+
+
+def test_asset_relpath_and_real_env_parse():
+    """The repo's sha256.env (reference format: padded `=`, underscored
+    key names) must parse cleanly and every key must map to its actual
+    assets/ path (reference rvcmd.py:48-131 download layout)."""
+    import os
+    from tpu_rvc.utils.assets import load_checksums, asset_relpath
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sums = load_checksums(os.path.join(root, "sha256.env"))
+    assert len(sums) >= 30
+    for k, v in sums.items():
+        assert len(v) == 64 and not v.strip() != v, (k, v)
+        int(v, 16)  # valid hex
+        assert not k.strip() != k
+
+    assert asset_relpath("hubert_base_pt") == "hubert/hubert_base.pt"
+    assert asset_relpath("rmvpe_pt") == "rmvpe/rmvpe.pt"
+    assert asset_relpath("rmvpe_onnx") == "rmvpe/rmvpe.onnx"
+    assert asset_relpath("v1_f0G40k_pth") == "pretrained/f0G40k.pth"
+    assert asset_relpath("v2_f0D48k_pth") == "pretrained_v2/f0D48k.pth"
+    assert (asset_relpath("uvr5_vocals_onnx")
+            == "uvr5_weights/onnx_dereverb_By_FoxJoy/vocals.onnx")
+    assert (asset_relpath("uvr5_HP2_all_vocals_pth")
+            == "uvr5_weights/HP2_all_vocals.pth")
+    assert (asset_relpath("uvr5_VR-DeEchoNormal_pth")
+            == "uvr5_weights/VR-DeEchoNormal.pth")
+    # every real key maps without falling through to the root fallback
+    for k in sums:
+        rel = asset_relpath(k)
+        assert "/" in rel, (k, rel)
+
+
+def test_attempt_report_rejects_corrupt_existing_file(tmp_path):
+    """attempt_asset_report must not count a pre-existing file whose
+    sha256 does not match sha256.env as downloaded (a truncated fetch or
+    an HTML error page must be refetched, not recorded as ok)."""
+    import os
+    from tpu_rvc.utils.assets import attempt_asset_report
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "assets", "hubert"))
+    with open(os.path.join(root, "assets", "hubert", "hubert_base.pt"),
+              "wb") as f:
+        f.write(b"<html>503 Service Unavailable</html>")
+    with open(os.path.join(root, "sha256.env"), "w") as f:
+        f.write("sha256_hubert_base_pt = " + "0" * 64 + "\n")
+    rep = attempt_asset_report(root, timeout=0.5)
+    assert "hubert/hubert_base.pt" not in rep["downloaded"]
+    refetch = [a for a in rep["attempts"]
+               if a["asset"] == "hubert/hubert_base.pt"]
+    assert any("sha256" in (a.get("error") or "") for a in refetch)
+    assert not rep["all_ok"]

@@ -404,3 +404,53 @@ def test_aot_cache_corrupt_entry_recovers(tmp_path):
                           0, 0.25, 0.33)
     assert cache2.hits == 0 and cache2.misses == 1
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_aot_stale_entry_falls_back_and_self_heals(tmp_path):
+    """A cache hit whose recorded avals no longer match the call (e.g. the
+    user swapped to a different-size retrieval index under an identical
+    key) must fall back to live tracing, return the right answer, and
+    overwrite the entry with the current shapes."""
+    from tpu_rvc.utils.aot import AOTGraphCache
+
+    def f(x):
+        return x * 2.0 + 1.0
+
+    cache1 = AOTGraphCache(str(tmp_path), platform="cpu")
+    g1 = cache1.wrap("stale_demo", jax.jit(f))
+    np.testing.assert_allclose(
+        np.asarray(g1(jnp.arange(4.0))), np.arange(4.0) * 2 + 1)
+    assert cache1.misses == 1
+
+    # new process, SAME key, different arg shape -> hit is stale
+    cache2 = AOTGraphCache(str(tmp_path), platform="cpu")
+    g2 = cache2.wrap("stale_demo", jax.jit(f))
+    assert cache2.hits == 1
+    out = np.asarray(g2(jnp.arange(8.0)))
+    np.testing.assert_allclose(out, np.arange(8.0) * 2 + 1)
+
+    # the entry self-healed: a third reload at the NEW shape hits cleanly
+    cache3 = AOTGraphCache(str(tmp_path), platform="cpu")
+    g3 = cache3.wrap("stale_demo", jax.jit(f))
+    assert cache3.hits == 1
+    np.testing.assert_allclose(
+        np.asarray(g3(jnp.arange(8.0))), np.arange(8.0) * 2 + 1)
+
+
+def test_tree_shape_sig_does_not_materialize_leaves():
+    """_tree_shape_sig must read only (shape, dtype) metadata: on a
+    remote-attached device an np.asarray per weight leaf would fetch
+    hundreds of MB through the host link just to compute a cache key."""
+    from tpu_rvc.utils.aot import _tree_shape_sig
+
+    class Spy:
+        shape = (3, 4)
+        dtype = np.dtype("float32")
+
+        def __array__(self, *a, **k):
+            raise AssertionError("leaf was materialized")
+
+    sig1 = _tree_shape_sig({"a": Spy(), "b": 1.0})
+    sig2 = _tree_shape_sig({"a": jnp.zeros((3, 4)), "b": 1.0})
+    assert sig1 == sig2  # metadata-equal trees agree
+    assert sig1 != _tree_shape_sig({"a": jnp.zeros((4, 3)), "b": 1.0})

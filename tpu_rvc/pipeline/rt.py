@@ -123,9 +123,13 @@ class RealtimeVC:
             if self.aot_cache is not None:
                 from tpu_rvc.utils.aot import _tree_shape_sig
                 sig = _tree_shape_sig((self.hubert_vars, self.synth_vars))
+                # index SIZE is part of the export's avals, so it must be
+                # part of the cache key (stale hits fall back + self-heal)
+                n = (self.index.vectors.shape[0]
+                     if has_index and self.index is not None else 1)
                 fn = self.aot_cache.wrap(
                     f"rt_block|{self.version}|{self.tgt_sr}|"
-                    f"{jnp.dtype(self.dtype).name}|{sig}|{key}", fn)
+                    f"{jnp.dtype(self.dtype).name}|{sig}|{key}|n={n}", fn)
             self._graphs[key] = fn
         return self._graphs[key]
 
@@ -223,10 +227,12 @@ class BatchedRealtimeVC(RealtimeVC):
             if self.aot_cache is not None:
                 from tpu_rvc.utils.aot import _tree_shape_sig
                 sig = _tree_shape_sig((self.hubert_vars, self.synth_vars))
+                n = (self.index.vectors.shape[0]
+                     if has_index and self.index is not None else 1)
                 fn = self.aot_cache.wrap(
                     f"rt_batched{self.n_streams}|{self.version}|"
                     f"{self.tgt_sr}|{jnp.dtype(self.dtype).name}|{sig}|"
-                    f"{key}", fn)
+                    f"{key}|n={n}", fn)
             self._graphs[key] = fn
         return self._graphs[key]
 
@@ -667,11 +673,19 @@ class FusedStreamGraph:
             # falls back to plain jit, never failing the hot path
             from tpu_rvc.utils.aot import _tree_shape_sig
             sig = _tree_shape_sig((engine.hubert_vars, engine.synth_vars))
+            # the retrieval index rides in as a call argument whose SIZE
+            # is pinned in the export's avals — key on it so restarting
+            # with/without an index (or a different one) is a distinct
+            # cache entry rather than a stale hit
+            n = (engine.index.vectors.shape[0]
+                 if engine.index is not None and engine.index_rate > 0
+                 else 1)
             self._jit = engine.aot_cache.wrap(
                 f"fused_stream|{engine.version}|{engine.tgt_sr}|"
                 f"{jnp.dtype(engine.dtype).name}|{sig}|{n_streams}|"
                 f"{stream_sr}|{block_frame}|{ctx_frame}|{total_len}|"
-                f"{skip_head}|{return_length}|{self.f0method}|{protect}",
+                f"{skip_head}|{return_length}|{self.f0method}|{protect}|"
+                f"n={n}",
                 self._jit)
         self._step = 0
 

@@ -180,7 +180,8 @@ class Pipeline:
 
     # ------------------------------------------------------------------
     def _full_graph(self, L: int, use_f0: bool, has_index: bool,
-                    protect_on: bool, f0_mode: str = "pm"):
+                    protect_on: bool, f0_mode: str = "pm",
+                    index_n: int = 0):
         """ONE jitted program for the common single-chunk utterance:
         device-side f0 + conversion + pad trimming.  Minimizes dispatch
         round-trips (each costs tunnel RTT on remote-attached devices):
@@ -246,9 +247,12 @@ class Pipeline:
         if self.aot_cache is not None:
             from tpu_rvc.utils.aot import _tree_shape_sig
             sig = _tree_shape_sig((self.hubert_vars, self.synth_vars))
+            # index_n keys the retrieval index SIZE: the export's avals
+            # pin (N, D), so a different index file must be a different
+            # cache entry (a stale hit falls back + self-heals in aot.py)
             fn = self.aot_cache.wrap(
                 f"vc_full|{self.version}|{self.tgt_sr}|"
-                f"{jnp.dtype(self.dtype).name}|{sig}|{key}|"
+                f"{jnp.dtype(self.dtype).name}|{sig}|{key}|n={index_n}|"
                 f"ns={self.noise_scale}|det={self.deterministic}", fn)
         self._graphs[key] = fn
         return self._graphs[key]
@@ -353,7 +357,7 @@ class Pipeline:
                 f0_mode = "pm"  # no fcpe ckpt: estimator falls back to PM
                 self.last_f0_note = "fcpe->pm (no checkpoint)"
             graph = self._full_graph(L, use_f0, has_index, protect_on,
-                                     f0_mode)
+                                     f0_mode, index_n=int(vecs.shape[0]))
             rmvpe_vars = (self.f0_gen._get(f0_mode).variables
                           if use_f0 and f0_mode in ("rmvpe", "fcpe") else {})
             t0 = time.time()
@@ -581,17 +585,16 @@ class VC:
         inflight = collections.deque()  # futures in dispatch order
 
         def flush(base, sr, audio, info):
-            save_audio(os.path.join(out_dir, f"{base}.wav"),
-                       np.asarray(audio), sr)
+            try:
+                save_audio(os.path.join(out_dir, f"{base}.wav"),
+                           np.asarray(audio), sr)
+            except Exception as e:  # attribute the failure to its input
+                return f"{base} -> {e}"
             return f"{base} -> Success ({info})"
 
         def drain(keep: int):
             while len(inflight) > keep:
-                fut = inflight.popleft()
-                try:
-                    infos.append(fut.result())
-                except Exception as e:  # pragma: no cover
-                    infos.append(f"-> {e}")
+                infos.append(inflight.popleft().result())
 
         try:
             for path in paths:

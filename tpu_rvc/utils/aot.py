@@ -47,14 +47,20 @@ def enable_persistent_compilation_cache(
 
 
 def _tree_shape_sig(tree: Any) -> str:
-    """Stable hash of a pytree's (path, shape, dtype) structure."""
+    """Stable hash of a pytree's (path, shape, dtype) structure.
+
+    Reads ONLY metadata — never materializes leaves: np.asarray on a
+    device-resident leaf would fetch it through the (slow) host link,
+    and the weight trees this is called on are hundreds of MB.
+    """
     import jax
     import numpy as np
 
     parts = []
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        parts.append(f"{jax.tree_util.keystr(path)}:"
-                     f"{tuple(np.shape(leaf))}:{np.asarray(leaf).dtype}")
+        shape = tuple(getattr(leaf, "shape", ()))
+        dtype = getattr(leaf, "dtype", None) or np.result_type(leaf)
+        parts.append(f"{jax.tree_util.keystr(path)}:{shape}:{dtype}")
     return hashlib.sha256("|".join(sorted(parts)).encode()).hexdigest()[:16]
 
 
@@ -89,16 +95,52 @@ class AOTGraphCache:
     def wrap(self, key: str, jitted: Callable) -> Callable:
         from jax import export as jexport
 
+        import jax
+
         path = self._path(key)
+
+        def _write_export(*args):
+            """Export jitted at these concrete avals and (over)write the
+            cache file.  Never raises — the hot path must not fail."""
+            try:
+                exported = jexport.export(jitted)(*args)
+                tmp = path + ".part"
+                with open(tmp, "wb") as f:
+                    f.write(exported.serialize())
+                os.replace(tmp, path)
+                logger.info("AOT cache write: %s", key)
+            except Exception as e:
+                logger.warning("AOT export failed (%s): %s", key, e)
+
         if os.path.exists(path):
             try:
                 with open(path, "rb") as f:
                     exported = jexport.deserialize(bytearray(f.read()))
                 self.hits += 1
                 logger.info("AOT cache hit: %s", key)
+                # jit the reloaded export once: raw exported.call re-enters
+                # tracing machinery per invocation (~3x Python dispatch
+                # overhead measured on the streaming block path)
+                jit_call = jax.jit(exported.call)
+                state = {"fallback": False}
 
                 def call_loaded(*args):
-                    return exported.call(*args)
+                    if not state["fallback"]:
+                        try:
+                            return jit_call(*args)
+                        except Exception as e:
+                            # stale avals (e.g. a different-size retrieval
+                            # index than the cached export saw): fall back
+                            # to the live jitted fn and self-heal the
+                            # entry with the current shapes
+                            logger.warning(
+                                "AOT cache entry stale for current call "
+                                "shapes (%s): %s — re-tracing", key, e)
+                            state["fallback"] = True
+                            out = jitted(*args)
+                            _write_export(*args)
+                            return out
+                    return jitted(*args)
 
                 call_loaded.aot_cache_status = "hit"  # type: ignore
                 return call_loaded
@@ -116,15 +158,7 @@ class AOTGraphCache:
             out = jitted(*args)
             if not state["exported"]:
                 state["exported"] = True
-                try:
-                    exported = jexport.export(jitted)(*args)
-                    tmp = path + ".part"
-                    with open(tmp, "wb") as f:
-                        f.write(exported.serialize())
-                    os.replace(tmp, path)
-                    logger.info("AOT cache write: %s", key)
-                except Exception as e:  # never fail the hot path
-                    logger.warning("AOT export failed (%s): %s", key, e)
+                _write_export(*args)
             return out
 
         call_and_export.aot_cache_status = "miss"  # type: ignore

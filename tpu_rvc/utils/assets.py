@@ -30,15 +30,40 @@ def sha256_file(path: str, chunk: int = 1 << 20) -> str:
 
 
 def load_checksums(env_path: str = "sha256.env") -> Dict[str, str]:
+    """Parse `sha256_<name> = <hex>` lines (reference sha256.env format —
+    note the padding whitespace around `=` in the published file)."""
     out = {}
     if not os.path.exists(env_path):
         return out
-    for line in open(env_path):
+    for line in open(env_path, encoding="utf-8"):
         line = line.strip()
         if "=" in line and line.startswith("sha256_"):
             k, v = line.split("=", 1)
-            out[k[len("sha256_"):]] = v
+            out[k[len("sha256_"):].strip()] = v.strip()
     return out
+
+
+def asset_relpath(name: str) -> str:
+    """Map a sha256.env key (e.g. `v2_f0G48k_pth`, `uvr5_vocals_onnx`) to
+    its path under assets/, mirroring the reference layout that rvcmd
+    downloads into (infer/lib/rvcmd.py:48-131: hubert/, rmvpe/,
+    pretrained/, pretrained_v2/, uvr5_weights/)."""
+    if name == "hubert_base_pt":
+        return "hubert/hubert_base.pt"
+    if name.startswith("rmvpe_"):
+        return f"rmvpe/rmvpe.{name.rsplit('_', 1)[1]}"
+    if name == "uvr5_vocals_onnx":
+        return "uvr5_weights/onnx_dereverb_By_FoxJoy/vocals.onnx"
+    for pref, sub in (("v1_", "pretrained"), ("v2_", "pretrained_v2"),
+                      ("uvr5_", "uvr5_weights")):
+        if name.startswith(pref):
+            stem, ext = name[len(pref):].rsplit("_", 1)
+            return f"{sub}/{stem}.{ext}"
+    if "." in name:  # already a literal filename
+        return name
+    # fallback: underscore-extension convention at the assets root
+    stem, ext = name.rsplit("_", 1) if "_" in name else (name, "bin")
+    return f"{stem}.{ext}"
 
 
 def check_model(dir_name: Path, model_name: str, hash_str: str,
@@ -62,17 +87,8 @@ def check_all_assets(root: str = ".", update: bool = False) -> bool:
         return True
     ok = True
     for name, hexhash in sums.items():
-        # names like "hubert_base.pt" map into assets/<kind>/<file>
-        found = False
-        for sub in ("hubert", "rmvpe", "pretrained", "pretrained_v2",
-                    "uvr5_weights", "weights", ""):
-            p = Path(root) / "assets" / sub / name
-            if p.exists():
-                found = True
-                if sha256_file(str(p)) != hexhash:
-                    ok = False
-                break
-        if not found:
+        p = Path(root) / "assets" / asset_relpath(name)
+        if not p.exists() or sha256_file(str(p)) != hexhash:
             ok = False
     return ok
 
@@ -100,14 +116,15 @@ def download_all_assets(root: str = ".", mirror: str = DEFAULT_MIRROR) -> None:
     """Fetch any asset in sha256.env that is missing or corrupt."""
     sums = load_checksums(os.path.join(root, "sha256.env"))
     for name, hexhash in sums.items():
-        sub = ("hubert" if "hubert" in name else
-               "rmvpe" if "rmvpe" in name else
-               "uvr5_weights" if name.startswith(("HP", "VR", "De")) else
-               "pretrained_v2" if name.endswith("_v2") else "pretrained")
-        dest = os.path.join(root, "assets", sub, name)
+        rel = asset_relpath(name)
+        dest = os.path.join(root, "assets", rel)
         if os.path.exists(dest) and sha256_file(dest) == hexhash:
             continue
-        download_file(f"{mirror}/{name}", dest, hexhash)
+        # mirror layout matches the assets/ layout except hubert/rmvpe
+        # live at the repo root of lj1995/VoiceConversionWebUI
+        remote = rel.split("/", 1)[1] if rel.split("/", 1)[0] in (
+            "hubert", "rmvpe") else rel
+        download_file(f"{mirror}/{remote}", dest, hexhash)
 
 
 # The minimum real-payload set the product depends on (reference
@@ -156,17 +173,30 @@ def attempt_asset_report(root: str = ".", timeout: float = 30.0) -> dict:
             report["dns_probe"][host] = {
                 "ok": False, "error": f"{type(e).__name__}: {e}"}
 
+    # expected hashes from sha256.env: a pre-existing file only counts if
+    # it verifies, and downloads are integrity-checked (a mirror serving
+    # an HTML error page with HTTP 200 must not be recorded as ok)
+    sums = load_checksums(os.path.join(root, "sha256.env"))
+    expected = {asset_relpath(k): v for k, v in sums.items()}
+
     for dest_rel, remote_rel in CORE_ASSETS:
         dest = os.path.join(root, "assets", dest_rel)
+        want = expected.get(dest_rel)
         if os.path.exists(dest):
-            report["downloaded"].append(dest_rel)
-            continue
+            if want is None or sha256_file(dest) == want:
+                report["downloaded"].append(dest_rel)
+                continue
+            report["attempts"].append(
+                {"asset": dest_rel, "url": None, "ok": False,
+                 "error": "existing file failed sha256 check — refetching"})
         for mirror in MIRRORS:
             url = f"{mirror}/{remote_rel}"
             entry = {"asset": dest_rel, "url": url}
             try:
-                download_file(url, dest, timeout=timeout)
+                download_file(url, dest, expected_sha256=want,
+                              timeout=timeout)
                 entry["ok"] = True
+                entry["sha256_verified"] = want is not None
                 report["downloaded"].append(dest_rel)
             except Exception as e:  # noqa: BLE001 - recording the failure
                 entry["ok"] = False

@@ -45,13 +45,22 @@ def mcd(wav1: np.ndarray, wav2: np.ndarray, sr: int,
     c2 = mel_cepstra(np.asarray(wav2[:n], np.float64), sr, n_mfcc)
     if energy_floor > 0.0:
         hop, win = 256, 1024
-        ref = np.asarray(wav2[:n], np.float64)
+        # RMS over the SAME samples each cepstral frame saw:
+        # stft_magnitude reflect-pads (n_fft-hop)//2 per side, so frame i
+        # covers ref[i*hop - pad : i*hop - pad + win] — reproduce the pad
+        # here so onset/offset frames are gated against their own audio
+        pad = (win - hop) // 2
+        ref = np.pad(np.asarray(wav2[:n], np.float64), pad, mode="reflect")
         f = min(len(c1), len(c2))
         rms = np.asarray([np.sqrt((ref[i * hop:i * hop + win] ** 2).mean())
                           for i in range(f)])
         keep = rms >= energy_floor
-        if keep.any():
-            c1, c2 = c1[:f][keep], c2[:f][keep]
+        if not keep.any():
+            raise ValueError(
+                f"no frames above energy_floor={energy_floor} — the "
+                "reference signal is effectively silent; an ungated MCD "
+                "over quantization noise would be meaningless")
+        c1, c2 = c1[:f][keep], c2[:f][keep]
     f = min(len(c1), len(c2))
     diff = c1[:f, 1:] - c2[:f, 1:]  # exclude c0 (energy)
     per_frame = np.sqrt(2.0 * np.sum(diff ** 2, axis=1))
