@@ -49,6 +49,24 @@ def cmd_index(args):
 def cmd_train(args):
     from tpu_rvc.core.config import hparams_for
     from tpu_rvc.train.loop import run_training
+    wants_multihost = (args.multihost or args.coordinator
+                       or args.num_processes is not None
+                       or args.process_id is not None)
+    if wants_multihost:
+        if not (args.multihost or args.coordinator):
+            # silently training standalone while the other hosts wait
+            # would write conflicting checkpoints — refuse instead
+            raise SystemExit(
+                "--num-processes/--process-id require --coordinator "
+                "ip:port (or --multihost for pod auto-detection)")
+        # join the multi-host job BEFORE first backend use (reference
+        # DDP init role, train.py:102-217); identical command on every
+        # host, differing only in --process-id
+        from tpu_rvc.parallel import multihost
+        multihost.initialize(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
     hp = hparams_for(args.version, args.sr)
     import dataclasses
     hp = dataclasses.replace(
@@ -104,6 +122,14 @@ def main():
     st.add_argument("--cache-in-hbm", action="store_true",
                     help="keep all batches device-resident after epoch 1 "
                          "(reference if_cache_data_in_gpu, train.py:425-501)")
+    st.add_argument("--multihost", action="store_true",
+                    help="join a multi-host job via TPU pod metadata "
+                         "auto-detection (jax.distributed.initialize())")
+    st.add_argument("--coordinator", default="",
+                    help="host0 ip:port for explicit multi-host init "
+                         "(reference MASTER_ADDR role)")
+    st.add_argument("--num-processes", type=int, default=None)
+    st.add_argument("--process-id", type=int, default=None)
     st.set_defaults(fn=cmd_train)
 
     args = p.parse_args()

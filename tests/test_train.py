@@ -750,3 +750,83 @@ def test_trainer_overfits_real_speech(tmp_path):
     assert snr_trained > snr_untrained + 3.0, \
         f"resynthesis mel-SNR {snr_trained:.2f} dB vs untrained " \
         f"{snr_untrained:.2f} dB"
+
+
+def test_bucket_batcher_epoch_local_slice_lockstep():
+    """Multi-host SPMD epoch contract (parallel/multihost.py): every
+    process derives the IDENTICAL global batch plan — same number of
+    batches, same bucket shape per step — while the per-process row
+    slices are disjoint and jointly reconstruct each global batch."""
+    from tpu_rvc.train.data import BucketBatcher
+
+    class FakeDS:
+        class _It:
+            def __init__(self, n):
+                self.n_frames = n
+
+        def __init__(self, n_items):
+            self.hp = TINY_HP
+            self.if_f0 = True
+            rng = np.random.default_rng(3)
+            self.items = [self._It(int(rng.integers(50, 900)))
+                          for _ in range(n_items)]
+
+        def __len__(self):
+            return len(self.items)
+
+        def load(self, i):
+            n = min(self.items[i].n_frames, 900)
+            d = self.hp.data
+            return {
+                "phone": np.full((n, 4), float(i), np.float32),
+                "spec": np.zeros((n, d.spec_channels), np.float32),
+                "wave": np.zeros((n * d.hop_length,), np.float32),
+                "sid": np.int32(i), "n_frames": n,
+                "pitch": np.zeros((n,), np.int32),
+                "pitchf": np.zeros((n,), np.float32),
+            }
+
+    world, N, BS = 2, 21, 4
+    per_proc = []
+    for rank in range(world):
+        ds = FakeDS(N)
+        b = BucketBatcher(ds, batch_size=BS, seed=11)
+        per_proc.append(list(b.epoch_local_slice(0, rank, world)))
+    ds = FakeDS(N)
+    b = BucketBatcher(ds, batch_size=BS, seed=11)
+    global_batches = list(b.epoch(0))
+
+    assert len(per_proc[0]) == len(per_proc[1]) == len(global_batches)
+    for g, p0, p1 in zip(global_batches, per_proc[0], per_proc[1]):
+        # same bucket shape on every process (SPMD lockstep)
+        assert p0["phone"].shape[1:] == g["phone"].shape[1:]
+        assert p0["phone"].shape[0] == p1["phone"].shape[0] == BS // world
+        # disjoint strided rows reconstructing the global batch
+        np.testing.assert_array_equal(p0["sid"], g["sid"][0::world])
+        np.testing.assert_array_equal(p1["sid"], g["sid"][1::world])
+
+    # indivisible global batch size must fail loudly, not desync
+    import pytest
+    with pytest.raises(ValueError):
+        next(b.epoch_local_slice(0, 0, 5))
+
+
+def test_multihost_single_process_helpers():
+    """Single-process behavior of the multihost helpers: is_primary is
+    True, global_batch_from_local == device_put with the requested
+    sharding, and the sharded result feeds the normal train step."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpu_rvc.core.mesh import make_mesh
+    from tpu_rvc.parallel import multihost as mh
+
+    assert not mh.is_multiprocess()
+    assert mh.is_primary()
+    mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+    sh = NamedSharding(mesh, P("data"))
+    batch = {"x": np.arange(16, dtype=np.float32).reshape(8, 2),
+             "y": np.arange(8, dtype=np.int32)}
+    out = mh.global_batch_from_local(batch, sh)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(out[k]), batch[k])
+        assert out[k].sharding.spec == P("data")

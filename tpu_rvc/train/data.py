@@ -216,9 +216,11 @@ class BucketBatcher:
                 return b
         return self.buckets[-1]
 
-    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+    def _plans(self, epoch_idx: int, rank: int,
+               world: int) -> List[Tuple[int, List[int]]]:
+        """Shuffled (bucket, row-ids) batch plan for one epoch."""
         rng = np.random.default_rng(self.seed + epoch_idx)
-        order = rng.permutation(len(self.ds))[self.rank::self.world]
+        order = rng.permutation(len(self.ds))[rank::world]
         by_bucket: Dict[int, List[int]] = {}
         for i in order:
             n = self.ds.items[int(i)].n_frames
@@ -235,9 +237,30 @@ class BucketBatcher:
                 while len(group) < self.batch_size:  # cycle-pad small tails
                     group = group + group[: self.batch_size - len(group)]
                 plans.append((bucket, group))
-        for k in rng.permutation(len(plans)):
-            bucket, group = plans[int(k)]
+        return [plans[int(k)] for k in rng.permutation(len(plans))]
+
+    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+        for bucket, group in self._plans(epoch_idx, self.rank, self.world):
             yield self._collate([self.ds.load(i) for i in group], bucket)
+
+    def epoch_local_slice(self, epoch_idx: int, rank: int,
+                          world: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Multi-host SPMD epoch: every process derives the IDENTICAL
+        global batch plan (same seed, same dataset on every host — a
+        requirement, as with the reference's DistributedBucketSampler,
+        data_utils.py:401) and yields only its rank::world rows of each
+        global batch.  All processes therefore step through the same
+        number of batches with the same bucket shapes — the lockstep the
+        jitted SPMD program requires — while each host only loads and
+        uploads 1/world of the rows (fed through
+        parallel.multihost.global_batch_from_local)."""
+        if self.batch_size % world != 0:
+            raise ValueError(
+                f"global batch_size {self.batch_size} not divisible by "
+                f"process count {world}")
+        for bucket, group in self._plans(epoch_idx, 0, 1):
+            yield self._collate(
+                [self.ds.load(i) for i in group[rank::world]], bucket)
 
     def _collate(self, items: List[Dict], bucket: int) -> Dict[str, np.ndarray]:
         B = len(items)

@@ -117,8 +117,14 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
     host->device transfer entirely.
     """
     log = log_fn or (lambda s: logger.info(s))
+    # multi-host: same run_training call on every host; each host feeds
+    # its rank::world rows of the identical global batch plan (reference
+    # one-process-per-GPU DDP role, train.py:102-217, over DCN instead)
+    from tpu_rvc.parallel import multihost as mh
+    world = jax.process_count()
+    primary = mh.is_primary()
     tb = None
-    if tensorboard:
+    if tensorboard and primary:  # rank-0-only logging, train.py:604
         try:  # scalars per log_interval, like the reference (train.py:604)
             from tensorboardX import SummaryWriter
             tb = SummaryWriter(os.path.join(exp_dir, "tb"))
@@ -152,6 +158,12 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
         state = load_native_checkpoint(ckpt, state)
         start_epoch = int(state.step) // steps_per_epoch
         log(f"resumed from {ckpt} at epoch {start_epoch}")
+    if jax.process_count() > 1:
+        # only rank 0 writes checkpoints: fail loudly if the hosts see
+        # different resume points (exp_dir must be on shared storage)
+        from tpu_rvc.parallel.multihost import assert_same_across_hosts
+        start_epoch = assert_same_across_hosts(start_epoch,
+                                               "resume start_epoch")
     else:
         if pretrain_g and os.path.exists(pretrain_g):
             from tpu_rvc.ckpt.torch_pth import load_pth
@@ -197,12 +209,14 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
             order = np.random.default_rng(
                 hp.train.seed + epoch).permutation(len(cache))
             epoch_batches = (cache[i] for i in order)
+        elif world > 1:
+            epoch_batches = batcher.epoch_local_slice(
+                epoch, jax.process_index(), world)
         else:
             epoch_batches = batcher.epoch(epoch)
         for batch in epoch_batches:
             if not cache_ready:
-                batch = {k: jax.device_put(jnp.asarray(v), data_sh)
-                         for k, v in batch.items()}
+                batch = mh.global_batch_from_local(batch, data_sh)
                 if cache is not None:
                     cache.append(batch)
             state, metrics = step_fn(state, batch,
@@ -231,7 +245,8 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
         log(f"epoch {epoch + 1}/{total_epochs}: "
             f"{n_batches} steps in {time.time() - t0:.1f}s, "
             + ", ".join(f"{k}={float(v):.3f}" for k, v in metrics.items()))
-        if (epoch + 1) % save_every_epoch == 0 or epoch + 1 == total_epochs:
+        if primary and ((epoch + 1) % save_every_epoch == 0
+                        or epoch + 1 == total_epochs):
             save_native_checkpoint(
                 os.path.join(exp_dir, f"state_{epoch + 1}.npz"), state)
             export_reference_g_pth(
@@ -241,7 +256,9 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
                 use_f0=if_f0,
                 num_kernels=len(hp.model.resblock_kernel_sizes))
 
-    # final small-model export (reference train.py:721-737)
+    # final small-model export (reference train.py:721-737); rank 0 only
+    if not primary:
+        return {k: float(v) for k, v in metrics.items()}
     from tpu_rvc.ckpt.convert import state_dict_from_synthesizer_params
     from tpu_rvc.ckpt.small_model import save_small_model
     sd = state_dict_from_synthesizer_params(
