@@ -97,8 +97,13 @@ class Generator(nn.Module):
     weight_norm: bool = True
 
     @nn.compact
-    def __call__(self, x, g=None, n_res: Optional[int] = None):
+    def __call__(self, x, g=None, n_res: Optional[int] = None,
+                 deterministic: bool = False):
         # x: (B, T, C); g: (B, 1, gin)
+        # deterministic: accepted for call-site symmetry with
+        # NSFGenerator (the synthesizer passes it to whichever decoder
+        # it holds); the plain HiFiGAN decoder has no stochastic terms
+        del deterministic
         if n_res is not None and int(n_res) != x.shape[1]:
             x = _interp_channels_last(x, int(n_res))
         rb = ResBlock1 if self.resblock == "1" else ResBlock2
