@@ -260,16 +260,21 @@ def _stage_breakdown(pipe, audio, dur_s, out_dev, n=5, f0_method="rmvpe"):
     hub_fn = jax.jit(lambda v, w: pipe.hubert.apply(v, w))
     t_hub = timeit(lambda: hub_fn(pipe.hubert_vars, wav))
 
+    # hoist H2D uploads out of the timed call (like wav above): re-running
+    # jnp.asarray(host_array) inside the lambda re-uploads 640 KB per
+    # dispatch through the tunnel and was mis-attributed as f0 compute
+    # (round-3 45.2 ms vs 13.6 ms amplified reconciliation)
+    wav32 = jnp.asarray(audio, jnp.float32)
+    wav32.block_until_ready()
     if f0_method == "rmvpe":
         est = pipe.f0_gen._estimators["rmvpe"]
         f0_fn = jax.jit(lambda v, w: rmvpe_f0_device(
             w, p_len, 0.0, est.model, v, dtype=dtype)[1])
-        t_f0 = timeit(lambda: f0_fn(est.variables,
-                                    jnp.asarray(audio, jnp.float32)))
+        t_f0 = timeit(lambda: f0_fn(est.variables, wav32))
     else:
+        zkey = jnp.asarray(0.0)
         f0_fn = jax.jit(lambda w, k: pm_f0_device(w, p_len, k)[1])
-        t_f0 = timeit(lambda: f0_fn(jnp.asarray(audio, jnp.float32),
-                                    jnp.asarray(0.0)))
+        t_f0 = timeit(lambda: f0_fn(wav32, zkey))
 
     rng = np.random.default_rng(1)
     phone = jnp.asarray(rng.standard_normal((1, p_len, 768)), dtype)

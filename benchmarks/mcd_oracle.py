@@ -279,13 +279,21 @@ def main():
     # speech-frame MCD (reference-frame RMS >= -50 dBFS): in digital
     # silence the residual is int16 quantization noise, unbounded in
     # log-spectral distance and unrelated to model parity
-    report["mcd_db"] = round(mcd(b, a, 48000, energy_floor=10 ** (-50 / 20)),
-                             6)
+    try:
+        report["mcd_db"] = round(
+            mcd(b, a, 48000, energy_floor=10 ** (-50 / 20)), 6)
+    except ValueError as e:
+        # an all-silent reference makes the energy gate raise (utils/mcd.py
+        # fail-loud contract); record the degenerate input instead of
+        # aborting the whole oracle report
+        report["mcd_db"] = None
+        report["mcd_db_error"] = str(e)
     report["max_abs_sample_diff"] = float(np.abs(a - b).max())
     report["rms_ref"] = float(np.sqrt((a ** 2).mean()))
     report["rms_ours"] = float(np.sqrt((b ** 2).mean()))
     report["mcd_target_db"] = 0.1
-    report["pass"] = bool(report["mcd_db"] <= 0.1)
+    report["pass"] = bool(report["mcd_db"] is not None
+                          and report["mcd_db"] <= 0.1)
     report["total_wall_s"] = round(time.time() - t_start, 1)
 
     with open(OUT, "w") as f:

@@ -235,12 +235,22 @@ def test_asset_relpath_and_real_env_parse():
         assert "/" in rel, (k, rel)
 
 
-def test_attempt_report_rejects_corrupt_existing_file(tmp_path):
+def test_attempt_report_rejects_corrupt_existing_file(tmp_path, monkeypatch):
     """attempt_asset_report must not count a pre-existing file whose
     sha256 does not match sha256.env as downloaded (a truncated fetch or
-    an HTML error page must be refetched, not recorded as ok)."""
+    an HTML error page must be refetched, not recorded as ok).  Network
+    I/O is stubbed out — the sha256-rejection logic is the subject, not
+    the mirrors."""
     import os
+    import socket
+    from tpu_rvc.utils import assets as assets_mod
     from tpu_rvc.utils.assets import attempt_asset_report
+
+    def _no_net(*a, **k):
+        raise OSError("network disabled in unit test")
+
+    monkeypatch.setattr(assets_mod, "download_file", _no_net)
+    monkeypatch.setattr(socket, "getaddrinfo", _no_net)
 
     root = str(tmp_path)
     os.makedirs(os.path.join(root, "assets", "hubert"))

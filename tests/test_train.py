@@ -2,6 +2,7 @@
 on a tiny config, and the data-parallel step over a virtual 8-device mesh."""
 
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -264,6 +265,80 @@ def test_checkpoint_resume_under_mesh(tmp_path):
     resumed, m_res = step(loaded, batch, jax.random.PRNGKey(77))
     np.testing.assert_allclose(float(m_res["loss_gen_all"]),
                                float(m_cont["loss_gen_all"]), rtol=1e-5)
+
+
+# TINY_HP at a trainer-supported sample rate (run_training's small-model
+# export tags require 32/40/48k)
+TINY_HP_32K = dataclasses.replace(
+    TINY_HP, data=dataclasses.replace(TINY_HP.data, sampling_rate=32000))
+
+
+def _tiny_exp_dir(tmp_path, n_files=3, n_frames=100):
+    """Minimal on-disk experiment dir at TINY_HP_32K scale: wavs +
+    features + f0 files + filelist (no mute filler rows)."""
+    from tpu_rvc.audio.io import save_wav
+
+    hp = TINY_HP_32K
+    exp = tmp_path / "exp"
+    for d in ("0_gt_wavs", "3_feature256", "2a_f0", "2b-f0nsf"):
+        (exp / d).mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(n_files):
+        wav = (0.1 * np.sin(2 * np.pi * 220 * np.arange(
+            n_frames * hp.data.hop_length) / hp.data.sampling_rate)
+        ).astype(np.float32)
+        wp = exp / "0_gt_wavs" / f"u{i}.wav"
+        save_wav(str(wp), wav, hp.data.sampling_rate)
+        feat = rng.standard_normal(
+            (n_frames // 2, hp.encoder_dim)).astype(np.float32)
+        fp = exp / "3_feature256" / f"u{i}.npy"
+        np.save(fp, feat)
+        f0c = rng.integers(1, 255, (n_frames,)).astype(np.float64)
+        f0 = rng.uniform(100, 300, (n_frames,)).astype(np.float64)
+        p0 = exp / "2a_f0" / f"u{i}.wav.npy"
+        p1 = exp / "2b-f0nsf" / f"u{i}.wav.npy"
+        np.save(p0, f0c)
+        np.save(p1, f0)
+        rows.append(f"{wp}|{fp}|{p0}|{p1}|0")
+    (exp / "filelist.txt").write_text("\n".join(rows) + "\n")
+    return str(exp)
+
+
+def test_run_training_resume_vs_pretrain_precedence(tmp_path):
+    """Resume from a native checkpoint must WIN over pretrained warm-start
+    (reference train.py:300-354: pretrained G/D load only when no G_*/D_*
+    checkpoint exists).  Regression for a round-3 refactor that re-bound
+    the pretrain branch to the multi-process check, making a single-process
+    resume clobber the resumed weights with the pretrained ones."""
+    from tpu_rvc.core.mesh import make_mesh
+    from tpu_rvc.train.loop import run_training, export_reference_g_pth
+
+    exp = _tiny_exp_dir(tmp_path)
+    # a pretrained G from a DIFFERENT seed
+    pre_state, _, _ = create_train_state(TINY_HP_32K, jax.random.PRNGKey(42))
+    pre = str(tmp_path / "pretrained_G.pth")
+    export_reference_g_pth(
+        pre, jax.device_get(pre_state.g_params), 0, 1e-4, use_f0=True,
+        num_kernels=len(TINY_HP_32K.model.resblock_kernel_sizes))
+
+    mesh = make_mesh(devices=jax.devices()[:1])
+    # (1) fresh start: pretrained G IS loaded
+    logs = []
+    run_training(exp, TINY_HP_32K, total_epochs=1, save_every_epoch=1,
+                 pretrain_g=pre, tensorboard=False, mesh=mesh,
+                 log_fn=lambda s: logs.append(str(s)))
+    assert any("loaded pretrained G" in s for s in logs), logs
+    assert os.path.exists(os.path.join(exp, "state_1.npz"))
+
+    # (2) resume: checkpoint wins, pretrained must NOT be re-applied
+    logs2 = []
+    run_training(exp, TINY_HP_32K, total_epochs=2, save_every_epoch=1,
+                 pretrain_g=pre, tensorboard=False, mesh=mesh,
+                 log_fn=lambda s: logs2.append(str(s)))
+    assert any("resumed from" in s for s in logs2), logs2
+    assert not any("loaded pretrained G" in s for s in logs2), \
+        "resume re-applied pretrained weights over the checkpoint"
 
 
 def test_native_checkpoint_corruption_detected(tmp_path):

@@ -26,6 +26,12 @@ from flax import linen as nn
 N_MELS = 128
 N_CLASS = 360
 
+# lax.scan unroll factor for the GRU recurrence: the per-step compute is a
+# tiny latency-bound matmul (h (2,B,256) @ (2,256,768)), so the T-step loop
+# is dominated by per-iteration control overhead; unrolling amortizes it
+# without changing the math.  Tuned on-chip via benchmarks/f0_floor.py.
+GRU_SCAN_UNROLL = int(__import__("os").environ.get("TPU_RVC_GRU_UNROLL", 8))
+
 
 class FoldedBN(nn.Module):
     """Inference BatchNorm: y = x * scale + bias (stats folded at load)."""
@@ -166,7 +172,8 @@ def _gru_scan(x, wi, bi, wh, bh, reverse=False):
         return h_new, h_new
 
     h0 = jnp.zeros((x.shape[0], H), x.dtype)
-    _, ys = jax.lax.scan(cell, h0, gi_all, reverse=reverse)
+    _, ys = jax.lax.scan(cell, h0, gi_all, reverse=reverse,
+                         unroll=GRU_SCAN_UNROLL)
     return jnp.swapaxes(ys, 0, 1)
 
 
@@ -191,7 +198,8 @@ def _bigru_fused(x, wi_f, bi_f, wh_f, bh_f, wi_b, bi_b, wh_b, bh_b):
         return h_new, h_new
 
     h0 = jnp.zeros((2, x.shape[0], H), x.dtype)
-    _, ys = jax.lax.scan(cell, h0, gi)                    # (T, 2, B, H)
+    _, ys = jax.lax.scan(cell, h0, gi,
+                         unroll=GRU_SCAN_UNROLL)          # (T, 2, B, H)
     fwd = jnp.swapaxes(ys[:, 0], 0, 1)                    # (B, T, H)
     bwd = jnp.swapaxes(jnp.flip(ys[:, 1], 0), 0, 1)
     return jnp.concatenate([fwd, bwd], axis=-1)

@@ -158,12 +158,6 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
         state = load_native_checkpoint(ckpt, state)
         start_epoch = int(state.step) // steps_per_epoch
         log(f"resumed from {ckpt} at epoch {start_epoch}")
-    if jax.process_count() > 1:
-        # only rank 0 writes checkpoints: fail loudly if the hosts see
-        # different resume points (exp_dir must be on shared storage)
-        from tpu_rvc.parallel.multihost import assert_same_across_hosts
-        start_epoch = assert_same_across_hosts(start_epoch,
-                                               "resume start_epoch")
     else:
         if pretrain_g and os.path.exists(pretrain_g):
             from tpu_rvc.ckpt.torch_pth import load_pth
@@ -193,6 +187,12 @@ def run_training(exp_dir: str, hp: HParams, *, total_epochs: int = 10,
             state = state._replace(
                 d_params=_merge_partial(state.d_params, d_params, log))
             log(f"loaded pretrained D from {pretrain_d}")
+    if jax.process_count() > 1:
+        # only rank 0 writes checkpoints: fail loudly if the hosts see
+        # different resume points (exp_dir must be on shared storage)
+        from tpu_rvc.parallel.multihost import assert_same_across_hosts
+        start_epoch = assert_same_across_hosts(start_epoch,
+                                               "resume start_epoch")
 
     step_fn = make_train_step(net_g, net_d, hp, steps_per_epoch)
     data_sh = NamedSharding(mesh, P("data"))

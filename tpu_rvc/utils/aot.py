@@ -128,11 +128,15 @@ class AOTGraphCache:
                     if not state["fallback"]:
                         try:
                             return jit_call(*args)
-                        except Exception as e:
+                        except (TypeError, ValueError) as e:
                             # stale avals (e.g. a different-size retrieval
-                            # index than the cached export saw): fall back
-                            # to the live jitted fn and self-heal the
-                            # entry with the current shapes
+                            # index than the cached export saw) surface as
+                            # jax shape-check TypeError/ValueError: fall
+                            # back to the live jitted fn and self-heal the
+                            # entry with the current shapes.  Anything else
+                            # (device OOM, transfer/runtime fault) is a
+                            # REAL error — re-raise, don't clobber a valid
+                            # cache entry with a mid-failure re-export.
                             logger.warning(
                                 "AOT cache entry stale for current call "
                                 "shapes (%s): %s — re-tracing", key, e)
