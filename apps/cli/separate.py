@@ -28,6 +28,11 @@ def main():
     p.add_argument("--agg", type=float, default=10.0,
                    help="vocal aggressiveness 0..20")
     p.add_argument("--tta", action="store_true")
+    p.add_argument("--engine", choices=["auto", "device", "host"],
+                   default="auto",
+                   help="'device' = one fused on-chip graph per length "
+                        "bucket (fast on TPU); 'host' = per-band/"
+                        "per-window orchestration; auto picks by backend")
     args = p.parse_args()
 
     paths = list(args.input)
@@ -41,6 +46,15 @@ def main():
     from tpu_rvc.audio.io import save_audio
 
     sep = load_separator(args.model, agg=args.agg, tta=args.tta)
+    runner = sep
+    if not hasattr(sep, "_path_audio_"):
+        use_device = args.engine == "device"
+        if args.engine == "auto":
+            import jax
+            use_device = jax.devices()[0].platform != "cpu"
+        if use_device:
+            from tpu_rvc.pipeline.uvr5 import DeviceSeparator
+            runner = DeviceSeparator(sep)
     os.makedirs(args.vocal_dir, exist_ok=True)
     os.makedirs(args.ins_dir, exist_ok=True)
     for path in paths:
@@ -49,7 +63,7 @@ def main():
             if hasattr(sep, "_path_audio_"):  # MDXNetDereverb interface
                 sep._path_audio_(path, args.vocal_dir, args.ins_dir)
             else:
-                ins, voc, sr = sep.separate(path)
+                ins, voc, sr = runner.separate(path)
                 save_audio(os.path.join(args.ins_dir,
                                         f"instrument_{name}.wav"), ins, sr)
                 save_audio(os.path.join(args.vocal_dir,

@@ -160,12 +160,16 @@ class Api:
     def uvr_convert(self, model_path: str, input_path: str,
                     ins_root: str = "opt_ins", vocal_root: str = "opt_voc",
                     agg: float = 10):
-        from tpu_rvc.pipeline.uvr5 import load_separator
+        from tpu_rvc.pipeline.uvr5 import load_separator, DeviceSeparator
         from tpu_rvc.audio.io import save_audio
         sep = load_separator(model_path, agg=agg)
         if hasattr(sep, "_path_audio_"):  # MDXNetDereverb interface
             sep._path_audio_(input_path, vocal_root, ins_root)
             return {"instrument": ins_root, "vocal": vocal_root}
+        import jax
+        if jax.devices()[0].platform != "cpu":
+            # fused device-resident graph: one upload, two int16 fetches
+            sep = DeviceSeparator(sep)
         ins, voc, sr = sep.separate(input_path)
         os.makedirs(ins_root, exist_ok=True)
         os.makedirs(vocal_root, exist_ok=True)

@@ -175,6 +175,9 @@ def config3():
     from tpu_rvc.pipeline.uvr5 import ModelParameters, UVR5Separator
     from tpu_rvc.audio.io import save_wav
 
+    from concurrent.futures import ThreadPoolExecutor
+    from tpu_rvc.pipeline.uvr5 import DeviceSeparator
+
     mp = ModelParameters("4band_v2.json")
     n_fft = mp.param["bins"] * 2
     # smoke: small crop offset so short windows still yield >=1 slice
@@ -195,26 +198,45 @@ def config3():
         save_wav(p, _tone(dur, mp.param["sr"]), mp.param["sr"])
         files.append(p)
 
-    # warm both graphs on the first file, then time the folder
-    ins, voc, out_sr = sep.separate(files[0])
-    wav16 = _resample(voc.mean(axis=1), out_sr, 16000)
+    # device-resident separation graph (round-4: the host-orchestrated
+    # path round-tripped every band spectrogram + window through the
+    # tunnel and ran at 1.2x realtime); warm it + the conversion graph
+    dev = DeviceSeparator(sep, bucket_s=dur)
+    ins, voc, out_sr = dev.separate(files[0])
+    wav16 = _resample(voc.mean(axis=1) / 32768.0, out_sr, 16000)
     np.asarray(pipe.pipeline(0, wav16, [0, 0, 0], 0, "pm", None, 0.0,
                              1, 3, 0, 0.25, 0.33))
+
+    pool = ThreadPoolExecutor(2)
     t0 = time.time()
     total_audio = 0.0
-    for p in files:
-        ins, voc, sr_f = sep.separate(p)
-        wav16 = _resample(voc.mean(axis=1), sr_f, 16000)
+    # phase 1: dispatch every separation async (device queues them)
+    handles = [dev.separate(p, fetch=False) for p in files]
+    t_dispatch = time.time() - t0
+
+    def fetch(h):
+        i16, v16, sr_f, n_out = h
+        return (np.asarray(i16)[:n_out], np.asarray(v16)[:n_out], sr_f)
+
+    # phase 2: fetch stems on the pool (overlaps D2H with device compute)
+    stems = list(pool.map(fetch, handles))
+    t_fetch = time.time() - t0 - t_dispatch
+    # phase 3: convert each vocal stem at 48k
+    for ins, voc, sr_f in stems:
+        wav16 = _resample(voc.mean(axis=1) / 32768.0, sr_f, 16000)
         out = np.asarray(pipe.pipeline(0, wav16, [0, 0, 0], 0, "pm", None,
                                        0.0, 1, 3, 0, 0.25, 0.33))
         total_audio += len(out) / 48000.0
     wall = time.time() - t0
     return {
         "desc": f"{n_files} files x {dur:.0f}s: UVR5 4-band separation + "
-                "48k conversion per file",
+                "48k conversion per file (device-resident separation)",
         "wall_s": round(wall, 2),
         "audio_seconds_per_second": round(total_audio / wall, 2),
         "files_per_min": round(n_files / wall * 60, 1),
+        "breakdown_s": {"separate_dispatch": round(t_dispatch, 2),
+                        "stem_fetch": round(t_fetch, 2),
+                        "convert": round(wall - t_dispatch - t_fetch, 2)},
     }
 
 

@@ -341,3 +341,47 @@ def test_mdxnet_published_dims_and_op_inventory(tmp_path):
     assert out.shape == mix.shape
     assert np.isfinite(out).all()
     assert np.abs(out).max() > 1e-5  # the net actually produced signal
+
+
+def test_device_separator_matches_host_path(tmp_path):
+    """The fused device-resident separation graph (DeviceSeparator) must
+    reproduce the host-orchestrated path (UVR5Separator.separate) on the
+    same weights/input.  Residual tolerance covers the two deliberate
+    differences: the device windowed-sinc band resampler vs scipy
+    resample_poly, and int16 output quantization (reference flow:
+    vr.py:51-173)."""
+    from tpu_rvc.pipeline.uvr5 import DeviceSeparator
+
+    mp = ModelParameters("4band_v2.json")
+    n_fft = mp.param["bins"] * 2
+    model = CascadedASPPNet(n_fft=n_fft, offset=8)
+    F = mp.param["bins"] + 1
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, F, 32, 2)))
+    sep = UVR5Separator(model, variables, mp, agg=10, tta=True,
+                        window_size=32)
+    sr = mp.param["sr"]
+    t = np.arange(sr) / sr
+    rng = np.random.default_rng(7)
+    mix = (0.4 * np.sin(2 * np.pi * 440 * t)
+           + 0.2 * np.sin(2 * np.pi * 1320 * t)
+           + 0.05 * rng.standard_normal(sr)).astype(np.float32)
+    from tpu_rvc.audio.io import save_wav
+    p = str(tmp_path / "mix.wav")
+    save_wav(p, mix, sr)
+
+    ins_h, voc_h, sr_h = sep.separate(p)
+    dev = DeviceSeparator(sep, bucket_s=1.0)
+    ins_d, voc_d, sr_d = dev.separate(p)
+    assert sr_d == sr_h
+    n = min(len(ins_h), len(ins_d))
+    assert n > 0.9 * sr
+    for a, b, nm in ((ins_h, ins_d, "ins"), (voc_h, voc_d, "voc")):
+        a = a[:n].astype(np.float64)
+        b = b[:n].astype(np.float64) / 32768.0
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
+        assert rel < 0.05, f"{nm}: rel residual {rel:.4f}"
+
+    # non-fetch mode returns device arrays + true output length
+    i2, v2, sr2, n2 = dev.separate(p, fetch=False)
+    assert sr2 == sr_d and 0 < n2 <= i2.shape[0]
+    np.testing.assert_array_equal(np.asarray(i2)[:n2], ins_d[:n])

@@ -302,6 +302,244 @@ class UVR5Separator:
         return ins, voc, self.mp.param["sr"]
 
 
+def _lp_gain(F: int, start: int, stop: int) -> np.ndarray:
+    """Per-bin gain vector of fft_lp_filter (same loop, vectorized form)."""
+    v = np.ones(F, np.float32)
+    g = 1.0
+    for b in range(start, stop):
+        g -= 1 / (stop - start)
+        v[b] = g
+    v[stop:] = 0.0
+    return v
+
+
+def _hp_gain(F: int, start: int, stop: int) -> np.ndarray:
+    """Per-bin gain vector of fft_hp_filter."""
+    v = np.ones(F, np.float32)
+    g = 1.0
+    for b in range(start, stop, -1):
+        g -= 1 / (start - stop)
+        v[b] = g
+    v[: stop + 1] = 0.0
+    return v
+
+
+class DeviceSeparator:
+    """Fully device-resident UVR5 separation (TPU-first rework of
+    `UVR5Separator.separate`, reference vr.py:51-173 + spec_utils.py).
+
+    The host path round-trips every band's spectrogram through numpy as
+    (real, imag) pairs and dispatches sliding windows one at a time —
+    ruinous over a remote-attached chip where D2H costs 0.1-10 s/MB.
+    Here the ENTIRE flow — band resample pyramid, 4x STFT, combine,
+    normalized batched-window CascadedASPPNet (+TTA), mask, mirrored
+    high-end restore, per-band gain filters, 4x iSTFT, upsample-sum — is
+    ONE jitted graph per input-length bucket.  Host I/O is exactly one
+    (2, T) float32 upload and two (T, 2) int16 fetches per file.
+
+    Complex math stays inside the graph (allowed); only float tensors
+    cross the host<->device boundary (CLAUDE.md: complex64 program
+    inputs/outputs are UNIMPLEMENTED on this backend).
+    """
+
+    def __init__(self, sep: "UVR5Separator", bucket_s: float = 5.0):
+        self.sep = sep
+        self.bucket_s = bucket_s
+        self._graphs: Dict[int, object] = {}
+
+    # -- graph builder ----------------------------------------------------
+    def _build(self, T4: int):
+        sep, mp = self.sep, self.sep.mp
+        p = mp.param
+        bands_n = len(p["band"])
+        F_all = p["bins"] + 1
+        win, off = sep.window_size, sep.model.offset
+        dtype = sep.dtype
+
+        # static pre-filter gain vector (combine_spectrograms tail)
+        pre = np.ones(F_all, np.float32)
+        if p["pre_filter_start"] > 0:
+            if bands_n == 1:
+                pre = _lp_gain(F_all, p["pre_filter_start"],
+                               p["pre_filter_stop"])
+            else:
+                gp = 1.0
+                for b in range(p["pre_filter_start"] + 1,
+                               p["pre_filter_stop"]):
+                    g = 10 ** (-(b - p["pre_filter_start"])
+                               * (3.5 - gp) / 20.0)
+                    gp = g
+                    pre[b] = g
+
+        from tpu_rvc.ops.resample import resample_poly
+
+        def band_specs(wav):
+            """wav (2, T4) @ band-N sr -> {d: complex spec}, high_end."""
+            w = {bands_n: wav}
+            for d in range(bands_n - 1, 0, -1):
+                sp = p["band"][d + 1]["sr"]
+                sn = p["band"][d]["sr"]
+                w[d] = w[d + 1] if sp == sn else resample_poly(
+                    w[d + 1], sp, sn)
+            specs = {}
+            for d in range(1, bands_n + 1):
+                bp = p["band"][d]
+                padw = bp["n_fft"] // 2
+                wp = jnp.pad(w[d], ((0, 0), (padw, padw)), mode="reflect")
+                specs[d] = jstft(wp, bp["n_fft"], bp["hl"])
+            return specs
+
+        def graph(variables, wav, agg_value):
+            specs = band_specs(wav)
+            bp_top = p["band"][bands_n]
+            he_h = (bp_top["n_fft"] // 2 - bp_top["crop_stop"]) + (
+                p["pre_filter_stop"] - p["pre_filter_start"])
+            input_high_end = specs[bands_n][
+                :, bp_top["n_fft"] // 2 - he_h: bp_top["n_fft"] // 2, :]
+
+            # combine (static crops) + pre-filter gains
+            l = min(int(specs[d].shape[2]) for d in specs)
+            spec_m = jnp.concatenate(
+                [specs[d][:, p["band"][d]["crop_start"]:
+                          p["band"][d]["crop_stop"], :l]
+                 for d in range(1, bands_n + 1)], axis=1)
+            # host combine_spectrograms allocates bins+1 rows and fills
+            # sum-of-crops; any remainder stays zero
+            if spec_m.shape[1] < F_all:
+                spec_m = jnp.pad(
+                    spec_m, ((0, 0), (0, F_all - spec_m.shape[1]), (0, 0)))
+            spec_m = spec_m * jnp.asarray(pre)[None, :, None]
+
+            # normalized batched sliding-window inference
+            x_mag = jnp.abs(spec_m)
+            coef = jnp.maximum(x_mag.max(), 1e-8)
+            x_pre = (x_mag / coef).astype(dtype)
+            pad_l, pad_r, roi = make_padding(l, win, off)
+            n_win = int(np.ceil(l / roi))
+            split_bin = p["band"][1]["crop_stop"]
+
+            def run_pass(pl, pr, nw):
+                xp = jnp.pad(x_pre, ((0, 0), (0, 0), (pl, pr)))
+                wins = jnp.stack([xp[:, :, i * roi: i * roi + win]
+                                  for i in range(nw)])     # (nw, 2, F, win)
+                xin = jnp.transpose(wins, (0, 2, 3, 1))    # (nw, F, win, 2)
+                out = sep.model.apply(variables, xin,
+                                      aggressiveness=(agg_value, split_bin))
+                out = jnp.transpose(out, (0, 3, 1, 2))     # (nw, 2, F, win)
+                if off > 0:
+                    out = out[:, :, :, off:-off]
+                # (nw, 2, F, roi) -> (2, F, nw*roi)
+                return jnp.concatenate(list(out), axis=2)
+
+            pred = run_pass(pad_l, pad_r, n_win)[:, :, :l]
+            if sep.tta:
+                shift = roi // 2
+                pt = run_pass(pad_l + shift, pad_r + shift, n_win + 1)
+                pred = (pred + pt[:, :, shift: shift + l]) * 0.5
+            pred = pred.astype(jnp.float32) * coef
+
+            phase = jnp.exp(1.0j * jnp.angle(spec_m))
+            y_spec = pred * phase          # instruments
+            v_spec = spec_m - y_spec       # vocals
+
+            def to_wave(spec):
+                # mirrored high-end restore (reference mirroring())
+                he = None
+                if sep.high_end_process.startswith("mirroring"):
+                    pfs = p["pre_filter_start"]
+                    mirror = jnp.flip(
+                        jnp.abs(spec[:, pfs - 10 - he_h: pfs - 10, :l]), 1)
+                    ihe = input_high_end[:, :, :l]
+                    if sep.high_end_process == "mirroring":
+                        m = mirror * jnp.exp(1.0j * jnp.angle(ihe))
+                        he = jnp.where(jnp.abs(ihe) <= jnp.abs(m), ihe, m)
+                    else:
+                        mi = mirror * (ihe * 1.7)
+                        he = jnp.where(jnp.abs(ihe) <= jnp.abs(mi), ihe, mi)
+
+                offset_b = 0
+                wave = None
+                for d in range(1, bands_n + 1):
+                    bp = p["band"][d]
+                    Fd = bp["n_fft"] // 2 + 1
+                    h = bp["crop_stop"] - bp["crop_start"]
+                    rows = spec[:, offset_b: offset_b + h]
+                    offset_b += h
+                    spec_s = jnp.zeros((2, Fd, l), jnp.complex64)
+                    spec_s = spec_s.at[:, bp["crop_start"]:
+                                       bp["crop_stop"]].set(rows)
+                    if d == bands_n:
+                        if he is not None:
+                            max_bin = bp["n_fft"] // 2
+                            spec_s = spec_s.at[
+                                :, max_bin - he_h: max_bin].set(he)
+                        gain = np.ones(Fd, np.float32)
+                        if bp.get("hpf_start", 0) > 0:
+                            gain *= _hp_gain(Fd, bp["hpf_start"],
+                                             bp["hpf_stop"] - 1)
+                        spec_s = spec_s * jnp.asarray(gain)[None, :, None]
+                        bw = jistft(spec_s, bp["n_fft"], bp["hl"])
+                        padw = bp["n_fft"] // 2
+                        bw = bw[:, padw:-padw]
+                        if bands_n == 1:
+                            wave = bw
+                        else:
+                            n = min(int(wave.shape[1]), int(bw.shape[1]))
+                            wave = wave[:, :n] + bw[:, :n]
+                    else:
+                        gain = np.ones(Fd, np.float32)
+                        if d > 1 and bp.get("hpf_start", 0) > 0:
+                            gain *= _hp_gain(Fd, bp["hpf_start"],
+                                             bp["hpf_stop"] - 1)
+                        gain *= _lp_gain(Fd, bp["lpf_start"], bp["lpf_stop"])
+                        spec_s = spec_s * jnp.asarray(gain)[None, :, None]
+                        bw = jistft(spec_s, bp["n_fft"], bp["hl"])
+                        padw = bp["n_fft"] // 2
+                        bw = bw[:, padw:-padw]
+                        sr_next = p["band"][d + 1]["sr"]
+                        if d == 1:
+                            wave = bw
+                        else:
+                            n = min(int(wave.shape[1]), int(bw.shape[1]))
+                            wave = wave[:, :n] + bw[:, :n]
+                        if bp["sr"] != sr_next:
+                            wave = resample_poly(wave, bp["sr"], sr_next)
+                return wave.T  # (T, 2) float32
+
+            ins = to_wave(y_spec)
+            voc = to_wave(v_spec)
+            if sep.is_reverse:
+                ins, voc = voc, ins
+            to16 = lambda x: jnp.clip(
+                jnp.round(x * 32768.0), -32768, 32767).astype(jnp.int16)
+            return to16(ins), to16(voc)
+
+        return jax.jit(graph)
+
+    # -- public API -------------------------------------------------------
+    def separate(self, music_file: str, fetch: bool = True):
+        """Returns (instrument, vocal, sr): (T, 2) int16 numpy if fetch,
+        else device arrays (caller overlaps the D2H via a fetch pool)."""
+        p = self.sep.mp.param
+        sr = p["band"][len(p["band"])]["sr"]
+        mono = load_audio(music_file, sr)
+        wav = np.stack([mono, mono]) if mono.ndim == 1 else mono
+        T = wav.shape[1]
+        bucket = int(self.bucket_s * sr)
+        T4 = max(-(-T // bucket), 1) * bucket
+        if T4 not in self._graphs:
+            self._graphs[T4] = self._build(T4)
+        wav_p = np.pad(wav, ((0, 0), (0, T4 - T)))
+        ins, voc = self._graphs[T4](
+            self.sep.variables, jnp.asarray(wav_p, jnp.float32),
+            jnp.asarray(self.sep.agg / 100.0, jnp.float32))
+        out_sr = p["sr"]
+        n_out = min(int(ins.shape[0]), int(T * out_sr / sr))
+        if not fetch:
+            return ins, voc, out_sr, n_out
+        return (np.asarray(ins)[:n_out], np.asarray(voc)[:n_out], out_sr)
+
+
 def load_uvr5_model(model_path: str, param_name: str = "4band_v2.json",
                     agg: float = 10.0, tta: bool = False) -> UVR5Separator:
     """Load an HP2/HP3/HP5-style VR checkpoint (reference uvr5/modules.py:17)."""
