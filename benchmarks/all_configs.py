@@ -117,9 +117,9 @@ def _pipelined_rtf(pipe, audio, dur_s, convert, n_iter, depth):
     }
 
 
-def config1():
+def config1(aot_cache=None):
     """pm f0, no retrieval, v2/40k — BASELINE config 1."""
-    _, pipe = _models(40000)
+    _, pipe = _models(40000, aot_cache)
     dur = 2.0 if SMOKE else 10.0
     audio = _tone(dur)
 
@@ -165,7 +165,7 @@ def config2(aot_cache):
     return out
 
 
-def config3():
+def config3(aot_cache=None):
     """Batch folder @48k incl. UVR5 separation — BASELINE config 3."""
     import tempfile
     import numpy as np
@@ -188,7 +188,7 @@ def config3():
                         window_size=(32 if SMOKE else 512),
                         dtype=_dtype())
 
-    _, pipe = _models(48000)
+    _, pipe = _models(48000, aot_cache)
     n_files = 2 if SMOKE else 4
     dur = 1.0 if SMOKE else 5.0
     tmp = tempfile.mkdtemp(prefix="bench_uvr_")
@@ -201,7 +201,7 @@ def config3():
     # device-resident separation graph (round-4: the host-orchestrated
     # path round-tripped every band spectrogram + window through the
     # tunnel and ran at 1.2x realtime); warm it + the conversion graph
-    dev = DeviceSeparator(sep, bucket_s=dur)
+    dev = DeviceSeparator(sep, bucket_s=dur, aot_cache=aot_cache)
     ins, voc, out_sr = dev.separate(files[0])
     wav16 = _resample(voc.mean(axis=1) / 32768.0, out_sr, 16000)
     np.asarray(pipe.pipeline(0, wav16, [0, 0, 0], 0, "pm", None, 0.0,
@@ -246,7 +246,7 @@ def _resample(x, sr_from, sr_to):
     return _resample_host(np.asarray(x, np.float32), sr_from, sr_to)
 
 
-def config4():
+def config4(aot_cache=None):
     """Streaming 160 ms blocks p50/p90 — BASELINE config 4."""
     import numpy as np
     import jax
@@ -281,7 +281,8 @@ def config4():
         jnp.zeros((1, 50), jnp.int32), jnp.zeros((1, 50)),
         method=syn.infer)
     eng = RealtimeVC(hubert=hub, hubert_vars=hv, synth=syn, synth_vars=sv,
-                     version="v2", if_f0=1, dtype=_dtype())
+                     version="v2", if_f0=1, dtype=_dtype(),
+                     aot_cache=aot_cache)
     f0method = "pm"
     if not SMOKE:
         from tpu_rvc.f0.rmvpe import RMVPE
@@ -328,7 +329,7 @@ def config4():
     }
 
 
-def config5():
+def config5(aot_cache=None):
     """v2/48k train step throughput — BASELINE config 5."""
     import numpy as np
     import jax
@@ -378,6 +379,11 @@ def config5():
         return state, losses
 
     jfn = jax.jit(many)
+    if aot_cache is not None:
+        from tpu_rvc.utils.aot import _tree_shape_sig
+        jfn = aot_cache.wrap(
+            f"train_many_v2_48k_B{B}_T{T}_R{R}_"
+            f"{_tree_shape_sig(state.g_params)}", jfn)
     t0 = time.time()
     _, losses = jfn(state, batch, jax.random.PRNGKey(1))
     l0 = np.asarray(losses)
@@ -419,6 +425,118 @@ def config5():
     }
 
 
+def config6(aot_cache=None):
+    """Serving capacity: N concurrent 160 ms streams through the
+    SlotScheduler (apps/serve.py core) — per-N tick p50/p90 and the max N
+    whose p90 stays under the block (reference latency contract
+    gui.py:652-660, scaled to a serving fleet)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tpu_rvc.core.config import hparams_for
+    from tpu_rvc.models.synthesizer import make_synthesizer
+    from tpu_rvc.models.hubert import hubert_for_version, Hubert
+    from tpu_rvc.pipeline.rt import RealtimeVC
+    from tpu_rvc.pipeline.serve import SlotScheduler
+
+    if SMOKE:
+        hub = Hubert(output_layer=1, final_proj=False, embed=768,
+                     ffn_dim=64, n_heads=2, pos_conv_k=16,
+                     pos_conv_groups=2,
+                     conv_layers=((32, 10, 5), (32, 4, 4), (32, 4, 4),
+                                  (32, 2, 2), (32, 2, 2)))
+    else:
+        hub = hubert_for_version("v2")
+    hv = hub.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))
+    hpv = hparams_for("v2", 48000)
+    if SMOKE:
+        import dataclasses
+        hpv = dataclasses.replace(hpv, model=dataclasses.replace(
+            hpv.model, inter_channels=32, hidden_channels=32,
+            filter_channels=64, n_heads=2, n_layers=1,
+            upsample_initial_channel=64))
+    syn = make_synthesizer(hpv, weight_norm=False, use_f0=True)
+    sv = syn.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, 50, 768)), jnp.asarray([50]), jnp.asarray([0]),
+        jnp.zeros((1, 50), jnp.int32), jnp.zeros((1, 50)),
+        method=syn.infer)
+    eng = RealtimeVC(hubert=hub, hubert_vars=hv, synth=syn, synth_vars=sv,
+                     version="v2", if_f0=1, dtype=_dtype(),
+                     aot_cache=aot_cache)
+    f0method = "pm"
+    if not SMOKE:
+        from tpu_rvc.f0.rmvpe import RMVPE
+        from tpu_rvc.models.rmvpe import E2E
+        eng.f0_gen._estimators["rmvpe"] = RMVPE(
+            variables=E2E().init(jax.random.PRNGKey(3),
+                                 jnp.zeros((1, 128, 32))),
+            dtype=_dtype())
+        f0method = "rmvpe"
+
+    sr = 48000
+    block_s = 0.16
+    per_n = {}
+    capacity = 0
+    extra = 0.5 if SMOKE else 2.5
+    for N in ((1, 2) if SMOKE else (4, 8, 16, 24)):
+        sched = SlotScheduler(eng, n_slots=N, samplerate=sr,
+                              block_time=block_s, crossfade_time=0.05,
+                              extra_time=extra, f0method=f0method)
+        bf = sched.block_frame
+        slots = [sched.attach() for _ in range(N)]
+        t = np.arange(bf) / sr
+        for rep, s in enumerate(slots):
+            sched.submit(s, (0.4 * np.sin(
+                2 * np.pi * (200 + 30 * rep) * t)).astype(np.float32))
+        t0 = time.time()
+        sched.tick()
+        compile_s = time.time() - t0
+        walls = []
+        for _ in (range(5) if SMOKE else range(20)):
+            for s in slots:
+                sched.submit(s, (0.4 * np.sin(2 * np.pi * 220 * t))
+                             .astype(np.float32))
+                sched.collect(s)
+            t0 = time.time()
+            sched.tick()
+            walls.append(time.time() - t0)
+        walls = sorted(walls)
+        p50 = statistics.median(walls)
+        p90 = walls[max(int(0.9 * len(walls)) - 1, 0)]
+        st = sched.stats()
+        per_n[str(N)] = {
+            "tick_p50_ms": round(p50 * 1000, 1),
+            "tick_p90_ms": round(p90 * 1000, 1),
+            "compile_first_tick_s": round(compile_s, 1),
+            "underruns": int(sum(st["underruns"])),
+        }
+        if p90 < block_s:
+            capacity = N
+        print(f"[config6] N={N}: p50 {p50 * 1000:.1f} ms, "
+              f"p90 {p90 * 1000:.1f} ms", flush=True)
+    return {
+        "desc": "N concurrent 160 ms streams via SlotScheduler "
+                f"(f0={f0method}); capacity = max N with tick p90 < block",
+        "block_ms": block_s * 1000,
+        "per_n_streams": per_n,
+        "max_streams_p90_under_block": capacity,
+    }
+
+
+# headline metric per config for the two-pass merge (main): the field a
+# driver reads first; the WARM pass supplies it (round-3 verdict: the
+# cold pass was flattering for configs 1-2 and got cherry-picked)
+HEADLINES = {
+    "config1_pm_no_retrieval": "rtf",
+    "config2_full_quality": "rtf",
+    "config3_batch_uvr5_48k": "files_per_min",
+    "config4_streaming_160ms": "p50_ms",
+    "config5_train_throughput": "steps_per_second_amplified",
+    "config6_serving_capacity": "max_streams_p90_under_block",
+}
+
+
 def main():
     import jax
     if SMOKE:
@@ -431,27 +549,61 @@ def main():
         aot_cache = AOTGraphCache(cache_dir)
     platform = jax.devices()[0].platform
 
+    out_path = os.path.join(
+        REPO, "BENCH_CONFIGS_SMOKE.json" if SMOKE else "BENCH_CONFIGS.json")
+    # two-pass protocol: if a previous artifact exists for this
+    # platform/mode, the present run is the WARM pass (compile caches
+    # populated) and becomes the headline; the oldest cold pass is kept
+    # verbatim under pass_cold
+    prev = None
+    try:
+        with open(out_path) as f:
+            cand = json.load(f)
+        if cand.get("platform") == platform and cand.get("smoke") == SMOKE:
+            prev = cand
+    except Exception:
+        prev = None
+
     results = {
         "platform": platform,
         "smoke": SMOKE,
         "generated_unix": int(time.time()),
         "note": "random-init weights (FLOP-identical to trained; no "
                 "pretrained assets reachable, see ASSETS_r03.json)",
+        "passes_note": "headline fields = the most recent pass (warm when "
+                       "a prior artifact existed: compile caches "
+                       "populated — the representative serving state); "
+                       "pass_cold preserves the first-ever cold run "
+                       "verbatim for compile-latency accounting",
     }
     configs = [
-        ("config1_pm_no_retrieval", config1),
+        ("config1_pm_no_retrieval", lambda: config1(aot_cache)),
         ("config2_full_quality", lambda: config2(aot_cache)),
-        ("config3_batch_uvr5_48k", config3),
-        ("config4_streaming_160ms", config4),
-        ("config5_train_throughput", config5),
+        ("config3_batch_uvr5_48k", lambda: config3(aot_cache)),
+        ("config4_streaming_160ms", lambda: config4(aot_cache)),
+        ("config5_train_throughput", lambda: config5(aot_cache)),
+        ("config6_serving_capacity", lambda: config6(aot_cache)),
     ]
     for name, fn in configs:
         t0 = time.time()
         try:
-            results[name] = fn()
-            results[name]["total_wall_s"] = round(time.time() - t0, 1)
+            res = fn()
+            res["total_wall_s"] = round(time.time() - t0, 1)
+            res["headline_metric"] = HEADLINES.get(name)
+            entry = dict(res)
+            if prev and name in prev and "error" not in prev[name]:
+                cold = prev[name].get("pass_cold") or {
+                    k: v for k, v in prev[name].items()
+                    if k not in ("pass_cold", "pass_warm",
+                                 "headline_metric")}
+                entry["pass_cold"] = cold
+                entry["pass_warm"] = res
+                hm = HEADLINES.get(name)
+                if hm and hm in res and hm in cold:
+                    entry["warm_vs_cold_" + hm] = [res[hm], cold[hm]]
+            results[name] = entry
             print(f"[all_configs] {name}: "
-                  f"{json.dumps(results[name])}", flush=True)
+                  f"{json.dumps(res)}", flush=True)
         except Exception as e:  # isolate failures per config
             import traceback
             results[name] = {"error": f"{type(e).__name__}: {e}",
@@ -459,8 +611,6 @@ def main():
             print(f"[all_configs] {name} FAILED: {e}", flush=True)
     if aot_cache is not None:
         results["aot_cache"] = aot_cache.stats()
-    out_path = os.path.join(
-        REPO, "BENCH_CONFIGS_SMOKE.json" if SMOKE else "BENCH_CONFIGS.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"[all_configs] wrote {out_path}")

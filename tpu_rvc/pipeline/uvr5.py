@@ -342,9 +342,11 @@ class DeviceSeparator:
     inputs/outputs are UNIMPLEMENTED on this backend).
     """
 
-    def __init__(self, sep: "UVR5Separator", bucket_s: float = 5.0):
+    def __init__(self, sep: "UVR5Separator", bucket_s: float = 5.0,
+                 aot_cache=None):
         self.sep = sep
         self.bucket_s = bucket_s
+        self.aot_cache = aot_cache  # utils.aot.AOTGraphCache (warm start)
         self._graphs: Dict[int, object] = {}
 
     # -- graph builder ----------------------------------------------------
@@ -514,7 +516,18 @@ class DeviceSeparator:
                 jnp.round(x * 32768.0), -32768, 32767).astype(jnp.int16)
             return to16(ins), to16(voc)
 
-        return jax.jit(graph)
+        fn = jax.jit(graph)
+        if self.aot_cache is not None:
+            import hashlib
+            from tpu_rvc.utils.aot import _tree_shape_sig
+            mp_sig = hashlib.sha256(
+                json.dumps(p, sort_keys=True).encode()).hexdigest()[:10]
+            fn = self.aot_cache.wrap(
+                f"uvr5_dev|{mp_sig}|T{T4}|w{win}|o{off}|tta{int(sep.tta)}|"
+                f"rev{int(sep.is_reverse)}|{sep.high_end_process}|"
+                f"{jnp.dtype(dtype).name}|{_tree_shape_sig(sep.variables)}",
+                fn)
+        return fn
 
     # -- public API -------------------------------------------------------
     def separate(self, music_file: str, fetch: bool = True):
