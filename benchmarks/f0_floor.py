@@ -64,19 +64,23 @@ def amortized(fn, reps=8):
     return (time.time() - t0) / reps
 
 
-def amplified(make_body, R, floor_s):
+def amplified(make_body, R, floor_s, *ops):
     """R reps of make_body inside one jitted scan; subtract floor, /R.
-    make_body(i) must return a scalar-reducible array and DEPEND on i."""
+    make_body(i, *ops) must return a scalar-reducible array and DEPEND
+    on i.  Weights/inputs MUST flow through *ops: anything closed over
+    becomes a graph constant shipped in the remote-compile payload, and
+    weight-tree-sized constants blow the axon service's HTTP body limit
+    (CLAUDE.md gotcha; observed as HTTP 413)."""
 
-    def rep():
+    def rep(*ops):
         def body(acc, i):
-            y = make_body(i)
+            y = make_body(i, *ops)
             return acc + jnp.sum(y.astype(jnp.float32)), None
         return jax.lax.scan(body, jnp.float32(0.0),
                             jnp.arange(R, dtype=jnp.float32))[0]
 
     jfn = jax.jit(rep)
-    t, _ = fetch_timed(jfn)
+    t, _ = fetch_timed(lambda: jfn(*ops))
     return max(t - floor_s, 0.0) / R
 
 
@@ -114,13 +118,14 @@ def main(dur_s: float, R: int):
     sub = {}
 
     sub["mel_frontend"] = amplified(
-        lambda i: rmvpe_mel(wav32[None] * (1 + 1e-6 * i)), R, floor)
+        lambda i, w: rmvpe_mel(w[None] * (1 + 1e-6 * i)), R, floor, wav32)
 
     unet = DeepUnet()
     uv = {"params": rv["params"]["unet"]}
     x_unet = jnp.swapaxes(melp, 1, 2)[..., None]  # (1, Tp, 128, 1)
     sub["unet"] = amplified(
-        lambda i: unet.apply(uv, x_unet * (1 + 1e-6 * i)), R, floor)
+        lambda i, v, x: unet.apply(v, x * (1 + 1e-6 * i)), R, floor,
+        uv, x_unet)
 
     gru = BiGRU(3 * N_MELS, 256)
     gv = {"params": rv["params"]["gru"]}
@@ -128,7 +133,8 @@ def main(dur_s: float, R: int):
         rng.standard_normal((1, Tp, 3 * N_MELS)) * 0.1, dtype)
     np.asarray(x_gru)
     sub["bigru"] = amplified(
-        lambda i: gru.apply(gv, x_gru * (1 + 1e-6 * i)), R, floor)
+        lambda i, v, x: gru.apply(v, x * (1 + 1e-6 * i)), R, floor,
+        gv, x_gru)
 
     sal = jnp.asarray(rng.random((Tp, 360)), jnp.float32)
     np.asarray(sal)
@@ -142,12 +148,13 @@ def main(dur_s: float, R: int):
         return post_process_jax(f0, 0.0)[1]
 
     sub["decode_tail"] = amplified(
-        lambda i: decode_tail(sal * (1 + 1e-6 * i)), R, floor)
+        lambda i, s_: decode_tail(s_ * (1 + 1e-6 * i)), R, floor, sal)
 
     full_fn = jax.jit(lambda v, w: rmvpe_f0_device(
         w, p_len, 0.0, e2e, v, dtype=dtype)[1])
     sub["full_chain"] = amplified(
-        lambda i: full_fn(rv, wav32 * (1 + 1e-6 * i)), max(R // 2, 4), floor)
+        lambda i, v, w: full_fn(v, w * (1 + 1e-6 * i)), max(R // 2, 4),
+        floor, rv, wav32)
 
     report["amplified_ms"] = {k: round(v * 1e3, 2) for k, v in sub.items()}
     for k, v in report["amplified_ms"].items():
@@ -169,7 +176,8 @@ def main(dur_s: float, R: int):
     for unroll in (1, 4, 8, 16, 32):
         rmvpe_mod.GRU_SCAN_UNROLL = unroll
         t = amplified(
-            lambda i: gru.apply(gv, x_gru * (1 + 1e-6 * i)), R, floor)
+            lambda i, v, x: gru.apply(v, x * (1 + 1e-6 * i)), R, floor,
+            gv, x_gru)
         ab[str(unroll)] = round(t * 1e3, 2)
         print(f"  bigru unroll={unroll:2d}: {t * 1e3:7.2f} ms", flush=True)
     report["bigru_unroll_ab_ms"] = ab
