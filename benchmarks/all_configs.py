@@ -113,6 +113,10 @@ def _pipelined_rtf(pipe, audio, dur_s, convert, n_iter, depth):
         "ms_per_utt_amortized": round(per * 1000, 1),
         "iter_ms_min": round(min(walls[1:]) * 1000, 1),
         "iter_ms_median": round(statistics.median(walls[1:]) * 1000, 1),
+        # tunnel-load-independent signal (docs/en/performance.md: the
+        # remote tunnel's stall variance is 10-20x; min wall is the
+        # stable cross-session indicator of the graph's real cost)
+        "rtf_min_wall": round(dur_s / min(walls[1:]), 1),
         "compile_first_run_s": round(compile_s, 1),
     }
 

@@ -186,23 +186,31 @@ def run_arm(platform):
 
 def main():
     if len(sys.argv) > 1:
-        rep = run_arm(sys.argv[1])
+        platform = sys.argv[1]
+        rep = run_arm(platform)
+        os.makedirs(WORK, exist_ok=True)
+        with open(os.path.join(WORK, f"arm_{platform}.json"), "w") as f:
+            json.dump(rep, f, indent=1)
         print("ARM_JSON:" + json.dumps(rep))
         return
 
     arms = {}
     for platform in ("tpu", "cpu"):
+        cached = os.path.join(WORK, f"arm_{platform}.json")
+        if os.path.exists(cached):  # arm already ran (CPU fp32 takes ~2 h
+            arms[platform] = json.load(open(cached))  # on the 1-core box)
+            print(f"=== arm {platform}: reusing {cached} ===", flush=True)
+            continue
         print(f"=== arm {platform} ===", flush=True)
         p = subprocess.run([sys.executable, os.path.abspath(__file__),
                             platform], capture_output=True, text=True,
-                           cwd=ROOT, timeout=7200)
+                           cwd=ROOT, timeout=int(os.environ.get(
+                               "TPU_RVC_TRAIN_LEARN_TIMEOUT", "14400")))
         sys.stdout.write(p.stdout[-3000:])
         sys.stderr.write(p.stderr[-3000:])
         if p.returncode != 0:
             raise SystemExit(f"arm {platform} failed rc={p.returncode}")
-        line = [ln for ln in p.stdout.splitlines()
-                if ln.startswith("ARM_JSON:")][-1]
-        arms[platform] = json.loads(line[len("ARM_JSON:"):])
+        arms[platform] = json.load(open(cached))
 
     tpu, cpu = arms["tpu"], arms["cpu"]
     n = min(5, len(tpu["loss_mel_per_epoch"]) // 2)
