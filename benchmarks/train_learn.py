@@ -215,6 +215,13 @@ def main():
     tpu, cpu = arms["tpu"], arms["cpu"]
     n = min(5, len(tpu["loss_mel_per_epoch"]) // 2)
     first_k, last_k = f"loss_mel_first{n}_mean", f"loss_mel_last{n}_mean"
+    # drift is bounded over the SHARED PREFIX of the two trajectories:
+    # the fp32 arm runs fewer epochs (~120 s/epoch on the 1-core host vs
+    # ~5 s on-chip), covering the steep-descent region where numerics
+    # matter most; the full 200-epoch proof-of-learning is TPU-only.
+    tc, cc = tpu["loss_mel_per_epoch"], cpu["loss_mel_per_epoch"]
+    L = min(len(tc), len(cc))
+    rel = [abs(a - b) / max(abs(b), 1e-6) for a, b in zip(tc[:L], cc[:L])]
     report = {
         "what": "on-chip bf16 GAN training proof-of-learning "
                 "(overfit recipe, identical seeds/batch plan both arms)",
@@ -224,11 +231,13 @@ def main():
         "tpu_bf16": tpu,
         "cpu_fp32": cpu,
         "learned_on_chip": tpu[last_k] < 0.5 * tpu[first_k],
-        "bf16_final_vs_fp32_final": round(tpu[last_k] / cpu[last_k], 3),
+        "drift_shared_prefix_epochs": L,
+        "bf16_vs_fp32_mean_rel_dev": round(sum(rel) / max(L, 1), 4),
+        "bf16_vs_fp32_max_rel_dev": round(max(rel), 4) if rel else None,
+        "bf16_vs_fp32_at_prefix_end": (
+            round(tc[L - 1] / cc[L - 1], 3) if L else None),
         "monotone_fraction_tpu": round(sum(
-            b <= a for a, b in zip(tpu["loss_mel_per_epoch"],
-                                   tpu["loss_mel_per_epoch"][1:])) /
-            max(len(tpu["loss_mel_per_epoch"]) - 1, 1), 3),
+            b <= a for a, b in zip(tc, tc[1:])) / max(len(tc) - 1, 1), 3),
     }
     with open(OUT, "w") as f:
         json.dump(report, f, indent=1)
