@@ -43,6 +43,24 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def _register_export_serialization() -> None:
+    """Make train-step graphs AOT-serializable (utils/aot.AOTGraphCache):
+    jax.export refuses PyTreeDefs with unregistered NamedTuple nodes, and
+    the train step's signature carries TrainState + optax states."""
+    from jax import export as jexport
+    from tpu_rvc.utils.aot import register_optax_export_serialization
+
+    register_optax_export_serialization()
+    try:
+        jexport.register_namedtuple_serialization(
+            TrainState, serialized_name="tpu_rvc.train.TrainState")
+    except ValueError:
+        pass  # already registered
+
+
+_register_export_serialization()
+
+
 def make_optimizers(hp: HParams, steps_per_epoch: int = 100):
     """AdamW(lr, betas, eps) with per-epoch exponential decay
     (reference train.py:253-298 + ExponentialLR gamma=lr_decay)."""

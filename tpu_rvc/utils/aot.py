@@ -46,6 +46,31 @@ def enable_persistent_compilation_cache(
     return cache_dir
 
 
+def register_optax_export_serialization() -> None:
+    """Idempotently register optax optimizer-state NamedTuples with
+    jax.export so training graphs (whose signatures carry optimizer
+    state) can be AOT-serialized by `AOTGraphCache`.
+
+    Without this, exporting the train step fails with "Cannot serialize
+    PyTreeDef containing an unregistered type ScaleByAdamState" and the
+    warm-start layer silently degrades to live tracing (observed as
+    config5's 217 s warm compile in BENCH_CONFIGS).  Callers that define
+    their own NamedTuple states (e.g. train.step.TrainState) must
+    register those too.
+    """
+    from jax import export as jexport
+    import optax
+
+    for cls in (optax.ScaleByAdamState, optax.EmptyState,
+                optax.ScaleByScheduleState, optax.MaskedState,
+                optax.InjectHyperparamsState):
+        try:
+            jexport.register_namedtuple_serialization(
+                cls, serialized_name=f"optax.{cls.__name__}")
+        except ValueError:
+            pass  # already registered (idempotent)
+
+
 def _tree_shape_sig(tree: Any) -> str:
     """Stable hash of a pytree's (path, shape, dtype) structure.
 
