@@ -605,6 +605,20 @@ def main():
                 hm = HEADLINES.get(name)
                 if hm and hm in res and hm in cold:
                     entry["warm_vs_cold_" + hm] = [res[hm], cold[hm]]
+            # pass-to-pass variance, recorded explicitly (round-3 review
+            # ask): the tunnel swings the dispatch-bound metrics 2-4x
+            # between sessions with identical code, so every pass's
+            # headline value is appended here; min-wall metrics
+            # (rtf_min_wall, iter_ms_min) are the tunnel-independent
+            # signals within each pass
+            hm = HEADLINES.get(name)
+            if hm and hm in res:
+                hist = []
+                if prev and name in prev:
+                    hist = list(prev[name].get("headline_history", []))
+                    if not hist and hm in prev[name]:
+                        hist = [prev[name][hm]]
+                entry["headline_history"] = hist + [res[hm]]
             results[name] = entry
             print(f"[all_configs] {name}: "
                   f"{json.dumps(res)}", flush=True)
