@@ -54,7 +54,10 @@ def main():
             use_device = jax.devices()[0].platform != "cpu"
         if use_device:
             from tpu_rvc.pipeline.uvr5 import DeviceSeparator
-            runner = DeviceSeparator(sep)
+            from tpu_rvc.utils.aot import AOTGraphCache
+            # AOT cache warm-starts the fused per-bucket graphs across
+            # process invocations (compiles cost minutes on the TPU)
+            runner = DeviceSeparator(sep, aot_cache=AOTGraphCache())
     os.makedirs(args.vocal_dir, exist_ok=True)
     os.makedirs(args.ins_dir, exist_ok=True)
     for path in paths:

@@ -42,6 +42,10 @@ class Api:
         self.rmvpe_root = rmvpe_root
         self.uvr5_root = uvr5_root
         self._vc = None
+        # uvr separators are cached per (model, agg): a DeviceSeparator's
+        # fused per-bucket graphs cost minutes to compile on the TPU
+        # (CLAUDE.md), so they must survive across requests
+        self._uvr = {}
 
     # ------------- model/index discovery (reference web.py:90-112) -------
     def lookup_names(self):
@@ -162,14 +166,21 @@ class Api:
                     agg: float = 10):
         from tpu_rvc.pipeline.uvr5 import load_separator, DeviceSeparator
         from tpu_rvc.audio.io import save_audio
-        sep = load_separator(model_path, agg=agg)
+        sep = self._uvr.get((model_path, agg))
+        if sep is None:
+            sep = load_separator(model_path, agg=agg)
+            if not hasattr(sep, "_path_audio_"):
+                import jax
+                if jax.devices()[0].platform != "cpu":
+                    # fused device-resident graph: one upload, two int16
+                    # fetches; AOT cache warm-starts the per-bucket graphs
+                    # across server restarts
+                    from tpu_rvc.utils.aot import AOTGraphCache
+                    sep = DeviceSeparator(sep, aot_cache=AOTGraphCache())
+            self._uvr[(model_path, agg)] = sep
         if hasattr(sep, "_path_audio_"):  # MDXNetDereverb interface
             sep._path_audio_(input_path, vocal_root, ins_root)
             return {"instrument": ins_root, "vocal": vocal_root}
-        import jax
-        if jax.devices()[0].platform != "cpu":
-            # fused device-resident graph: one upload, two int16 fetches
-            sep = DeviceSeparator(sep)
         ins, voc, sr = sep.separate(input_path)
         os.makedirs(ins_root, exist_ok=True)
         os.makedirs(vocal_root, exist_ok=True)

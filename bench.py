@@ -171,10 +171,14 @@ def main():
         fetch_pool.shutdown()
     elapsed = total / n_iter
     rtf = dur_s / elapsed
+    # Only iterations i >= depth contain a blocking fetch (popleft fires
+    # once len(pending) > depth); the first `depth` walls are
+    # async-dispatch-only and would inflate min-wall stats ~10x.
+    steady = times[depth:] if len(times) > depth else times[-1:]
     print(f"[bench] depth-{depth} pipelined: {elapsed * 1000:.1f} ms per "
           f"{dur_s:.0f} s utterance amortized over {n_iter} "
-          f"(iter-wall median {statistics.median(times[1:])*1000:.0f}, "
-          f"min {min(times[1:])*1000:.0f}, max {max(times[1:])*1000:.0f})",
+          f"(iter-wall median {statistics.median(steady)*1000:.0f}, "
+          f"min {min(steady)*1000:.0f}, max {max(steady)*1000:.0f})",
           file=sys.stderr)
 
     # ---- per-stage breakdown artifact (BENCH_BREAKDOWN.json) ----
@@ -191,9 +195,10 @@ def main():
             "pipelined_ms_amortized": round(elapsed * 1000, 1),
             # iter walls include the blocking fetch of utterance i-depth
             # once the pipeline is full (fetch-dominated, tracks tunnel
-            # RTT rather than dispatch cost)
+            # RTT rather than dispatch cost); median over the
+            # fetch-inclusive steady-state iterations only
             "iter_ms_median": round(
-                statistics.median(times[1:]) * 1000, 1),
+                statistics.median(steady) * 1000, 1),
             "iter_ms_all": [round(x * 1000, 1) for x in times],
             "rtf": round(rtf, 2),
             "compile_first_run_s": round(first_run_s, 1),
@@ -214,11 +219,21 @@ def main():
     except Exception as e:  # never let the artifact break the headline
         print(f"[bench] breakdown failed: {e}", file=sys.stderr)
 
+    # rtf_min_wall: the tunnel-independent signal (CLAUDE.md: device->host
+    # RTT through the remote-attach tunnel swings 12-370 ms session to
+    # session on identical graphs; the min FETCH-INCLUSIVE iteration wall
+    # tracks the dispatch+fetch floor).  "value" stays the honest
+    # amortized wall including every fetch — min_wall is reported
+    # alongside, not substituted.
+    min_wall = min(steady)
     print(json.dumps({
         "metric": "48kHz_conversion_RTF_full_quality_single_chip",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 50.0, 3),
+        "rtf_min_wall": round(dur_s / min_wall, 1),
+        "iter_ms_median": round(statistics.median(steady) * 1000, 1),
+        "iter_ms_min": round(min_wall * 1000, 1),
     }))
 
 
@@ -265,7 +280,10 @@ def _stage_breakdown(pipe, audio, dur_s, out_dev, n=5, f0_method="rmvpe"):
     # dispatch through the tunnel and was mis-attributed as f0 compute
     # (round-3 45.2 ms vs 13.6 ms amplified reconciliation)
     wav32 = jnp.asarray(audio, jnp.float32)
-    wav32.block_until_ready()
+    # force the upload with a (4-byte) fetch of a reduction over it:
+    # block_until_ready() does NOT reliably wait on the axon backend
+    # (CLAUDE.md); only device->host fetches synchronize
+    np.asarray(jnp.sum(wav32))
     if f0_method == "rmvpe":
         est = pipe.f0_gen._estimators["rmvpe"]
         f0_fn = jax.jit(lambda v, w: rmvpe_f0_device(

@@ -108,15 +108,22 @@ def _pipelined_rtf(pipe, audio, dur_s, convert, n_iter, depth):
         np.asarray(pending.popleft())
     total = time.time() - t_start
     per = total / n_iter
+    # Only iterations i >= depth contain a blocking fetch (the popleft
+    # fires once len(pending) > depth); the first `depth` walls are
+    # async-dispatch-only (~16 ms vs ~180 ms fetch-inclusive) and would
+    # inflate a min taken over them ~10x.  min/median are therefore
+    # restricted to the fetch-inclusive steady-state iterations.
+    steady = walls[depth:] if len(walls) > depth else walls[-1:]
     return {
         "rtf": round(dur_s / per, 2),
         "ms_per_utt_amortized": round(per * 1000, 1),
-        "iter_ms_min": round(min(walls[1:]) * 1000, 1),
-        "iter_ms_median": round(statistics.median(walls[1:]) * 1000, 1),
+        "iter_ms_min": round(min(steady) * 1000, 1),
+        "iter_ms_median": round(statistics.median(steady) * 1000, 1),
         # tunnel-load-independent signal (docs/en/performance.md: the
-        # remote tunnel's stall variance is 10-20x; min wall is the
-        # stable cross-session indicator of the graph's real cost)
-        "rtf_min_wall": round(dur_s / min(walls[1:]), 1),
+        # remote tunnel's stall variance is 10-20x; the min
+        # fetch-inclusive wall is the stable cross-session indicator of
+        # the graph's real dispatch+fetch cost)
+        "rtf_min_wall": round(dur_s / min(steady), 1),
         "compile_first_run_s": round(compile_s, 1),
     }
 
@@ -596,10 +603,15 @@ def main():
             res["headline_metric"] = HEADLINES.get(name)
             entry = dict(res)
             if prev and name in prev and "error" not in prev[name]:
+                # strip ALL merge bookkeeping when snapshotting a
+                # first-generation artifact as the preserved cold run
+                # (headline_history / warm_vs_cold_* are added by run 1
+                # and must not be frozen into pass_cold forever)
                 cold = prev[name].get("pass_cold") or {
                     k: v for k, v in prev[name].items()
                     if k not in ("pass_cold", "pass_warm",
-                                 "headline_metric")}
+                                 "headline_metric", "headline_history")
+                    and not k.startswith("warm_vs_cold_")}
                 entry["pass_cold"] = cold
                 entry["pass_warm"] = res
                 hm = HEADLINES.get(name)

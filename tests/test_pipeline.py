@@ -437,6 +437,34 @@ def test_aot_stale_entry_falls_back_and_self_heals(tmp_path):
         np.asarray(g3(jnp.arange(8.0))), np.arange(8.0) * 2 + 1)
 
 
+def test_aot_cache_keyed_by_source_fingerprint(tmp_path, monkeypatch):
+    """Cache keys carry a hash of the package sources: a code edit that
+    keeps shapes identical (e.g. changing a loss weight) must NOT replay
+    the old exported graph on the next warm start."""
+    from tpu_rvc.utils import aot
+
+    def f(x):
+        return x * 2.0
+
+    cache1 = aot.AOTGraphCache(str(tmp_path), platform="cpu")
+    g1 = cache1.wrap("fp_demo", jax.jit(f))
+    np.asarray(g1(jnp.arange(4.0)))
+    assert cache1.misses == 1
+
+    # same source -> warm hit
+    cache2 = aot.AOTGraphCache(str(tmp_path), platform="cpu")
+    g2 = cache2.wrap("fp_demo", jax.jit(f))
+    np.asarray(g2(jnp.arange(4.0)))
+    assert cache2.hits == 1
+
+    # simulate a package source edit -> the stored entry is unreachable
+    monkeypatch.setattr(aot, "_SRC_FINGERPRINT", "deadbeef0000")
+    cache3 = aot.AOTGraphCache(str(tmp_path), platform="cpu")
+    g3 = cache3.wrap("fp_demo", jax.jit(f))
+    np.asarray(g3(jnp.arange(4.0)))
+    assert cache3.misses == 1 and cache3.hits == 0
+
+
 def test_tree_shape_sig_does_not_materialize_leaves():
     """_tree_shape_sig must read only (shape, dtype) metadata: on a
     remote-attached device an np.asarray per weight leaf would fetch

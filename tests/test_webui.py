@@ -337,3 +337,39 @@ def test_infer_only_app(tmp_path):
     bound = {b.api_name for b in gr.bindings if b.api_name}
     assert bound == {"infer_convert"}
     assert not gr.tabs  # single page, no TabItems
+
+
+def test_api_uvr_convert_caches_separator(built, tmp_path, monkeypatch):
+    """uvr_convert must reuse the separator across requests: a
+    DeviceSeparator's fused per-bucket graphs cost minutes to compile on
+    the TPU, so a per-request rebuild would recompile every call."""
+    gr, api, app = built
+    import web as web_mod
+
+    loads = []
+
+    class _FakeSep:
+        def separate(self, path):
+            sr = 44100
+            x = np.zeros((sr // 10, 2), np.float32)
+            return x, x, sr
+
+    def fake_load(model_path, agg=10, **kw):
+        loads.append((model_path, agg))
+        return _FakeSep()
+
+    monkeypatch.setattr("tpu_rvc.pipeline.uvr5.load_separator", fake_load)
+    from tpu_rvc.audio.io import save_wav
+    wav = str(tmp_path / "in.wav")
+    save_wav(wav, np.zeros(4410, np.float32), 44100)
+
+    for _ in range(2):
+        out = api.uvr_convert("HP5.pth", wav,
+                              ins_root=str(tmp_path / "ins"),
+                              vocal_root=str(tmp_path / "voc"), agg=10)
+        assert os.path.exists(out["vocal"])
+    assert len(loads) == 1, "separator must be cached across requests"
+    # a different aggressiveness is a different separator
+    api.uvr_convert("HP5.pth", wav, ins_root=str(tmp_path / "ins"),
+                    vocal_root=str(tmp_path / "voc"), agg=7)
+    assert len(loads) == 2

@@ -16,6 +16,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -26,11 +27,14 @@ from flax import linen as nn
 N_MELS = 128
 N_CLASS = 360
 
-# lax.scan unroll factor for the GRU recurrence: the per-step compute is a
-# tiny latency-bound matmul (h (2,B,256) @ (2,256,768)), so the T-step loop
-# is dominated by per-iteration control overhead; unrolling amortizes it
-# without changing the math.  Tuned on-chip via benchmarks/f0_floor.py.
-GRU_SCAN_UNROLL = int(__import__("os").environ.get("TPU_RVC_GRU_UNROLL", 8))
+# lax.scan unroll factor for the GRU recurrence.  The on-chip A/B
+# (benchmarks/f0_floor.py, F0_FLOOR.json bigru_unroll_ab_ms: unroll
+# 1/4/8/16/32 -> 0.28/0.28/0.27/0.26/0.25 ms) shows the fused
+# single-scan recurrence is NOT loop-overhead-bound — unrolling buys
+# ~0.01 ms while multiplying the scan body in the traced HLO of every
+# rmvpe graph (compiles cost 2-10 min on the remote service).  Default
+# is therefore 1; the env knob remains for re-running the A/B.
+GRU_SCAN_UNROLL = int(os.environ.get("TPU_RVC_GRU_UNROLL", 1))
 
 
 class FoldedBN(nn.Module):

@@ -46,14 +46,21 @@ class TrainState(NamedTuple):
 def _register_export_serialization() -> None:
     """Make train-step graphs AOT-serializable (utils/aot.AOTGraphCache):
     jax.export refuses PyTreeDefs with unregistered NamedTuple nodes, and
-    the train step's signature carries TrainState + optax states."""
-    from jax import export as jexport
+    the train step's signature carries TrainState + optax states.
+
+    Best-effort at import time: AOT caching is an optional warm-start
+    layer — a jax version without `export.register_namedtuple_serialization`
+    must not break `import tpu_rvc.train`.
+    """
     from tpu_rvc.utils.aot import register_optax_export_serialization
 
     register_optax_export_serialization()
     try:
+        from jax import export as jexport
         jexport.register_namedtuple_serialization(
             TrainState, serialized_name="tpu_rvc.train.TrainState")
+    except (ImportError, AttributeError):
+        pass  # no jax.export on this version; AOT layer degrades to live
     except ValueError:
         pass  # already registered
 

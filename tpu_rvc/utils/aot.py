@@ -57,18 +57,64 @@ def register_optax_export_serialization() -> None:
     config5's 217 s warm compile in BENCH_CONFIGS).  Callers that define
     their own NamedTuple states (e.g. train.step.TrainState) must
     register those too.
+
+    Best-effort: on jax versions without
+    `export.register_namedtuple_serialization` this is a no-op (the AOT
+    layer then simply never gets export coverage for training graphs) —
+    it must never make `import tpu_rvc.train` fail.
     """
-    from jax import export as jexport
+    try:
+        from jax import export as jexport
+        register = jexport.register_namedtuple_serialization
+    except (ImportError, AttributeError) as e:
+        logger.warning("jax.export namedtuple registration unavailable "
+                       "(%s); train-step AOT caching disabled", e)
+        return
     import optax
 
-    for cls in (optax.ScaleByAdamState, optax.EmptyState,
-                optax.ScaleByScheduleState, optax.MaskedState,
-                optax.InjectHyperparamsState):
+    for name in ("ScaleByAdamState", "EmptyState", "ScaleByScheduleState",
+                 "MaskedState", "InjectHyperparamsState"):
+        cls = getattr(optax, name, None)
+        if cls is None:
+            continue
         try:
-            jexport.register_namedtuple_serialization(
-                cls, serialized_name=f"optax.{cls.__name__}")
+            register(cls, serialized_name=f"optax.{name}")
         except ValueError:
             pass  # already registered (idempotent)
+
+
+_SRC_FINGERPRINT: Optional[str] = None
+
+
+def source_fingerprint() -> str:
+    """Hash of every .py source under the tpu_rvc package (12 hex chars),
+    computed once per process.
+
+    Baked into every AOTGraphCache path so a cached StableHLO export can
+    never outlive the code that produced it: cache keys are built from
+    config/shape signatures only, so without this a source edit that
+    keeps shapes (e.g. changing a loss weight in train/step.py) would
+    silently replay the OLD graph on the next warm start and the "warm"
+    benchmark would measure code that no longer exists.  Any package
+    edit ⇒ all entries cold exactly once — correct, and the XLA
+    persistent compile cache (keyed by HLO, unaffected) still absorbs
+    most of the recompile cost for graphs that didn't actually change.
+    """
+    global _SRC_FINGERPRINT
+    if _SRC_FINGERPRINT is None:
+        pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for root, dirs, files in sorted(os.walk(pkg_dir)):
+            dirs.sort()
+            for name in sorted(files):
+                if not name.endswith(".py"):
+                    continue
+                path = os.path.join(root, name)
+                h.update(os.path.relpath(path, pkg_dir).encode())
+                with open(path, "rb") as f:
+                    h.update(f.read())
+        _SRC_FINGERPRINT = h.hexdigest()[:12]
+    return _SRC_FINGERPRINT
 
 
 def _tree_shape_sig(tree: Any) -> str:
@@ -113,7 +159,8 @@ class AOTGraphCache:
 
     def _path(self, key: str) -> str:
         h = hashlib.sha256(
-            f"{key}|{self.platform}|{self.jax_version}".encode()
+            f"{key}|{self.platform}|{self.jax_version}|"
+            f"{source_fingerprint()}".encode()
         ).hexdigest()[:24]
         return os.path.join(self.dir, f"aot_{h}.stablehlo")
 
@@ -149,19 +196,31 @@ class AOTGraphCache:
                 jit_call = jax.jit(exported.call)
                 state = {"fallback": False}
 
+                def _is_stale(e: Exception) -> bool:
+                    # Stale avals (e.g. a different-size retrieval index
+                    # than the cached export saw) surface as jax
+                    # shape-check TypeError/ValueError at trace time, or
+                    # as a backend XlaRuntimeError(INVALID_ARGUMENT) when
+                    # the mismatch (layout/sharding vs the deserialized
+                    # executable) is only caught at run time.
+                    if isinstance(e, (TypeError, ValueError)):
+                        return True
+                    return (type(e).__name__ == "XlaRuntimeError"
+                            and "INVALID_ARGUMENT" in str(e))
+
                 def call_loaded(*args):
                     if not state["fallback"]:
                         try:
                             return jit_call(*args)
-                        except (TypeError, ValueError) as e:
-                            # stale avals (e.g. a different-size retrieval
-                            # index than the cached export saw) surface as
-                            # jax shape-check TypeError/ValueError: fall
-                            # back to the live jitted fn and self-heal the
-                            # entry with the current shapes.  Anything else
-                            # (device OOM, transfer/runtime fault) is a
-                            # REAL error — re-raise, don't clobber a valid
-                            # cache entry with a mid-failure re-export.
+                        except Exception as e:
+                            # Stale entry: fall back to the live jitted fn
+                            # and self-heal with the current shapes.
+                            # Anything else (device OOM, transfer/runtime
+                            # fault) is a REAL error — re-raise, don't
+                            # clobber a valid cache entry with a
+                            # mid-failure re-export.
+                            if not _is_stale(e):
+                                raise
                             logger.warning(
                                 "AOT cache entry stale for current call "
                                 "shapes (%s): %s — re-tracing", key, e)
