@@ -25,6 +25,9 @@ def cmd_extract(args):
                           rmvpe_root=args.rmvpe_root)
         for line in logs:
             print(line)
+    if args.hubert == "none":  # f0-only pass (CI runners without the
+        print("extract done (features skipped: --hubert none)")  # real ckpt)
+        return
     logs = extract_features(args.exp_dir, version=args.version,
                             hubert_path=args.hubert)
     for line in logs:

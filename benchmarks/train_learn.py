@@ -38,7 +38,7 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "tests"))
-OUT = os.path.join(ROOT, "TRAIN_r04.json")
+OUT = os.path.join(ROOT, "TRAIN_r05.json")
 WORK = os.path.join(ROOT, ".cache", "train_learn")
 TARGET_STEPS = int(os.environ.get("TPU_RVC_TRAIN_LEARN_STEPS", "400"))
 # default 400: the verdict asks ~300-500 real GAN steps; env override for
