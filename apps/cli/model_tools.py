@@ -52,7 +52,8 @@ def cmd_change_info(args):
 def cmd_export_onnx(args):
     from tpu_rvc.ckpt.export import export_onnx
     export_onnx(args.model, args.output, T=args.frames,
-                spk_mix=getattr(args, "spk_mix", False))
+                spk_mix=getattr(args, "spk_mix", False),
+                reference_layout=getattr(args, "reference_layout", False))
     print("exported ->", args.output)
 
 
@@ -142,6 +143,12 @@ def main():
                     help="speaker-mix variant: ds becomes per-frame "
                          "float mixing weights (reference spkmixmap, "
                          "rvc/onnx/synthesizer.py:60)")
+    so.add_argument("--reference-layout", action="store_true",
+                    help="emit the torch exporter's exact tensor layouts "
+                         "(rnd (1,192,T), audio (1,1,samples)) and "
+                         "dynamic-axis annotations for drop-in use by "
+                         "existing RVC ONNX consumers "
+                         "(rvc/onnx/exporter.py:6-51)")
     so.set_defaults(fn=cmd_export_onnx)
 
     args = p.parse_args()

@@ -292,10 +292,12 @@ class Api:
         return {"output": out}
 
     # ---------------- export tab ----------------
-    def export_onnx(self, ckpt_path: str, onnx_path: str, frames: int = 200):
+    def export_onnx(self, ckpt_path: str, onnx_path: str, frames: int = 200,
+                    reference_layout: bool = False):
         """ONNX export endpoint (reference web.py:1519)."""
         from tpu_rvc.ckpt.export import export_onnx
-        export_onnx(ckpt_path, onnx_path, T=frames)
+        export_onnx(ckpt_path, onnx_path, T=frames,
+                    reference_layout=reference_layout)
         return {"output": onnx_path}
 
     # ---------------- log-tail streaming ----------------

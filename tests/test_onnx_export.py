@@ -279,3 +279,64 @@ def test_synthesizer_onnx_spkmix(tmp_path, rng):
     # executor — allow 1 LSB of int16 rounding skew between the two
     want = (outm.reshape(-1) * 32767).astype(np.int16)
     assert np.abs(out.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+
+def test_synthesizer_onnx_reference_layout(tmp_path, rng):
+    """reference_layout=True emits the torch exporter's EXACT wire
+    contract (rvc/onnx/exporter.py:6-51): input names/order, tensor
+    layouts (rnd channel-first (1, 192, T), audio (1, 1, samples)),
+    int64 integer inputs, and its dynamic-axis annotations (phone dim 1,
+    pitch dim 1, pitchf dim 1, rnd dim 2 — exporter.py:40-45), so
+    existing RVC ONNX consumers are drop-in."""
+    syn = _tiny_synth()
+    T = 12
+    phone = jnp.asarray(rng.standard_normal((1, T, 24)), jnp.float32)
+    pitch = jnp.asarray(rng.integers(1, 255, (1, T)), jnp.int32)
+    pitchf = jnp.asarray(100 + 50 * rng.random((1, T)), jnp.float32)
+    sid = jnp.zeros((1,), jnp.int32)
+    rnd_cl = jnp.asarray(rng.standard_normal((1, T, 8)), jnp.float32)
+    variables = syn.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        phone, jnp.asarray([T]), sid, pitch, pitchf, method=syn.infer)
+
+    p = str(tmp_path / "synth_ref.onnx")
+    export_synthesizer_onnx(syn, variables, T=T, path=p,
+                            reference_layout=True)
+    mod = OnnxModule.from_file(p)
+
+    # exact input names AND order (exporter.py:24 input_names)
+    assert mod.graph.inputs == ["phone", "phone_lengths", "pitch", "pitchf",
+                                "ds", "rnd"]
+    assert mod.graph.outputs == ["audio"]
+
+    # shapes with the reference's dynamic-axis annotations: a dim_param
+    # string at each dynamic position, concrete ints elsewhere
+    info = mod.graph.input_info
+    assert info["phone"][1][0] == 1 and info["phone"][1][2] == 24
+    assert isinstance(info["phone"][1][1], str)          # phone: [1]
+    assert isinstance(info["pitch"][1][1], str)          # pitch: [1]
+    assert isinstance(info["pitchf"][1][1], str)         # pitchf: [1]
+    assert info["rnd"][1][:2] == (1, 8)                  # channel-FIRST
+    assert isinstance(info["rnd"][1][2], str)            # rnd: [2]
+    assert info["phone_lengths"][1] == (1,)
+    assert info["ds"][1] == (1,)
+    # int64 declarations (consumer rvc/onnx/infer.py:60-88 feeds int64)
+    for n in ("phone_lengths", "pitch", "ds"):
+        assert info[n][0] == 7, n  # TensorProto.INT64
+
+    # numeric parity: channel-first rnd in, (1, 1, samples) audio out
+    rnd_cf = np.transpose(np.asarray(rnd_cl), (0, 2, 1))
+    got = np.asarray(mod(np.asarray(phone), np.asarray([T], np.int64),
+                         np.asarray(pitch, np.int64), np.asarray(pitchf),
+                         np.asarray(sid, np.int64), rnd_cf))
+    want = np.asarray(syn.apply(variables, phone, jnp.asarray([T]), sid,
+                                pitch, pitchf, noise=rnd_cl, noise_scale=1.0,
+                                deterministic=True, method=syn.infer))
+    assert got.shape == (1, 1, want.shape[1])  # torch dec layout
+    np.testing.assert_allclose(got[0, 0], want[0, :, 0], atol=2e-5)
+
+    # spk_mix has no reference layout — must refuse, not silently diverge
+    import pytest
+    with pytest.raises(ValueError):
+        export_synthesizer_onnx(syn, variables, T=T, spk_mix=True,
+                                reference_layout=True)

@@ -21,3 +21,15 @@ Layer map (bottom -> top), mirroring SURVEY.md §1:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("TPU_RVC_PLATFORM"):
+    # Force the JAX backend before first use.  Exists because some TPU
+    # attachment plugins register themselves regardless of JAX_PLATFORMS,
+    # and host-only work (ONNX export, ckpt surgery, dataset prep) should
+    # not pay remote-device tracing costs.  Same role as the reference's
+    # device override flags (configs/config.py:71-105 --device/--cpu).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["TPU_RVC_PLATFORM"])

@@ -92,19 +92,24 @@ def load_exported(path: str) -> LoadedExport:
 
 
 def export_onnx(model_path: str, out_path: str, T: int = 200,
-                spk_mix: bool = False) -> str:
+                spk_mix: bool = False,
+                reference_layout: bool = False) -> str:
     """Export an RVC small model to ONNX (reference rvc/onnx/exporter.py:6).
 
     Torch-free and onnx-package-free: the `.pth` is read by the native
     pickle reader, the synthesizer inference graph is traced to a jaxpr and
     serialized via tpu_rvc.ckpt.jax2onnx (opset 17, same I/O contract as the
     reference export: phone/phone_lengths/pitch/pitchf/ds/rnd -> audio,
-    with `rnd` channel-last).  The graph is static at `T` frames — export
-    per length bucket for other sizes."""
+    with `rnd` channel-last by default; reference_layout=True exports the
+    torch exporter's exact tensor layouts — rnd (1, 192, T), audio
+    (1, 1, samples) — plus its dynamic-axis annotations, for drop-in use
+    by existing RVC ONNX consumers).  The graph is static at `T` frames —
+    export per length bucket for other sizes."""
     from tpu_rvc.models.loader import load_synthesizer
     from tpu_rvc.ckpt.jax2onnx import export_synthesizer_onnx
 
     synth, variables, _meta = load_synthesizer(model_path)
     export_synthesizer_onnx(synth, variables, T=T, path=out_path,
-                            spk_mix=spk_mix)
+                            spk_mix=spk_mix,
+                            reference_layout=reference_layout)
     return "Finished"

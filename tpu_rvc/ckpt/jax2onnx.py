@@ -720,7 +720,8 @@ def export_fn_to_onnx(
 
 def export_synthesizer_onnx(synth, variables, *, T: int = 200,
                             path: Optional[str] = None,
-                            spk_mix: bool = False) -> bytes:
+                            spk_mix: bool = False,
+                            reference_layout: bool = False) -> bytes:
     """Export a synthesizer to ONNX with the reference's I/O contract
     (rvc/onnx/exporter.py:24-28,34-47): inputs phone/phone_lengths/pitch/
     pitchf/ds/rnd -> audio, noise supplied externally via `rnd`.
@@ -729,9 +730,17 @@ def export_synthesizer_onnx(synth, variables, *, T: int = 200,
     - integer inputs (phone_lengths/pitch/ds) are DECLARED int64 exactly
       like the reference (its consumer rvc/onnx/infer.py:60-66 feeds
       int64); an entry Cast narrows them to the graph's int32.
-    - rnd is channel-last (1, T, inter_channels) — the tpu_rvc layout
-      convention — where the torch reference uses (1, 192, T).  This is
-      the one deliberate divergence (documented in PARITY.md).
+    - by default rnd is channel-last (1, T, inter_channels) — the tpu_rvc
+      layout convention — where the torch reference uses (1, 192, T).
+
+    reference_layout=True removes that divergence for drop-in use by
+    existing RVC ONNX consumers: `rnd` becomes (1, inter_channels, T) and
+    `audio` (1, 1, samples) via boundary transposes, and the model carries
+    the reference exporter's exact dynamic-axis annotations (phone dim 1,
+    pitch dim 1, pitchf dim 1, rnd dim 2 — rvc/onnx/exporter.py:40-45).
+    NOTE the payload graph is still compiled at the exported T (the XLA
+    static-shape model); export one model per length bucket and pad to the
+    bucket, as tpu_rvc's own OnnxRVC consumer does (pipeline/onnx_infer.py).
 
     spk_mix=True exports the speaker-mix variant (reference
     rvc/onnx/synthesizer.py:60 construct_spkmixmap): the `ds` input
@@ -739,6 +748,10 @@ def export_synthesizer_onnx(synth, variables, *, T: int = 200,
     speaker embedding table instead of an int id, so consumers can morph
     between speakers mid-utterance."""
     inter = synth.inter_channels
+    if reference_layout and spk_mix:
+        raise ValueError("reference_layout applies to the reference's "
+                         "exporter contract; the spk_mix variant is a "
+                         "tpu_rvc extension with no reference layout")
 
     if spk_mix:
         S = synth.spk_embed_dim
@@ -778,40 +791,63 @@ def export_synthesizer_onnx(synth, variables, *, T: int = 200,
                 f.write(data)
         return data
 
+    # boundary adapters for reference_layout: rnd arrives channel-first,
+    # audio leaves channel-first (torch Conv1d layout, exporter.py:16,
+    # synthesizer.py:84 `o = self.dec(...)` (B, 1, samples))
+    def _rnd_in(rnd):
+        return jnp.transpose(rnd, (0, 2, 1)) if reference_layout else rnd
+
+    def _audio_out(audio):
+        return jnp.transpose(audio, (0, 2, 1)) if reference_layout else audio
+
+    rnd_shape = (1, inter, T) if reference_layout else (1, T, inter)
+
     if synth.use_f0:
         def fwd(variables, phone, phone_lengths, pitch, pitchf, ds, rnd):
-            return synth.apply(variables, phone, phone_lengths, ds, pitch,
-                               pitchf, noise=rnd, noise_scale=1.0,
-                               deterministic=True, method=synth.infer)
+            return _audio_out(synth.apply(
+                variables, phone, phone_lengths, ds, pitch,
+                pitchf, noise=_rnd_in(rnd), noise_scale=1.0,
+                deterministic=True, method=synth.infer))
         inputs = (
             jnp.zeros((1, T, synth.encoder_dim), jnp.float32),
             jnp.asarray([T], jnp.int32),
             jnp.zeros((1, T), jnp.int32),
             jnp.zeros((1, T), jnp.float32),
             jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, T, inter), jnp.float32),
+            jnp.zeros(rnd_shape, jnp.float32),
         )
         input_names = ["phone", "phone_lengths", "pitch", "pitchf", "ds",
                        "rnd"]
     else:
         def fwd(variables, phone, phone_lengths, ds, rnd):
-            return synth.apply(variables, phone, phone_lengths, ds,
-                               noise=rnd, noise_scale=1.0,
-                               deterministic=True, method=synth.infer)
+            return _audio_out(synth.apply(
+                variables, phone, phone_lengths, ds,
+                noise=_rnd_in(rnd), noise_scale=1.0,
+                deterministic=True, method=synth.infer))
         inputs = (
             jnp.zeros((1, T, synth.encoder_dim), jnp.float32),
             jnp.asarray([T], jnp.int32),
             jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, T, inter), jnp.float32),
+            jnp.zeros(rnd_shape, jnp.float32),
         )
         input_names = ["phone", "phone_lengths", "ds", "rnd"]
 
-    # no dynamic_axes: the graph IS static (XLA compilation model) — Reshape
-    # shapes hard-code T, so advertising dynamic dims would mislead consumers.
-    # Export one model per length bucket instead (the pipeline's approach).
+    # Default: no dynamic_axes — the graph IS static (XLA compilation
+    # model); Reshape shapes hard-code T, so advertising dynamic dims would
+    # mislead consumers.  Export one model per length bucket instead (the
+    # pipeline's approach).  reference_layout mode carries the reference
+    # exporter's annotations verbatim for ecosystem tooling that keys on
+    # them (rvc/onnx/exporter.py:40-45); the bucket-padding caveat is in
+    # the docstring.
+    dyn = None
+    if reference_layout:
+        dyn = {"phone": [1], "pitchf": [1], "rnd": [2]}
+        if synth.use_f0:
+            dyn["pitch"] = [1]
     int64_in = {n: np.int64 for n in input_names
                 if n in ("phone_lengths", "pitch", "ds")}
     data = export_fn_to_onnx(fwd, variables, inputs, input_names, ["audio"],
+                             dynamic_axes=dyn,
                              input_dtype_overrides=int64_in)
     if path is not None:
         with open(path, "wb") as f:
