@@ -106,6 +106,8 @@ class VCServer(socketserver.ThreadingTCPServer):
             if self.scheduler.ready():
                 self.scheduler.tick()
             else:
+                # idle: deliver a pipelined in-flight block before napping
+                self.scheduler.flush()
                 time.sleep(self.poll)
 
     def shutdown(self):
@@ -268,6 +270,12 @@ def main(argv=None):
     p.add_argument("--f0-method", default="rmvpe")
     p.add_argument("--f0-up-key", type=float, default=0.0)
     p.add_argument("--index-rate", type=float, default=0.0)
+    p.add_argument("--pipelined", action="store_true",
+                   help="overlap each tick's device->host fetch with the "
+                        "next tick's dispatch (+1 block delivery latency, "
+                        "tick critical path = max(dispatch, fetch) instead "
+                        "of their sum — raises stream capacity on "
+                        "remote-attached chips)")
     p.add_argument("--aot-cache", default=".jax_cache", metavar="DIR",
                    help="warm-start cache dir for compiled block graphs "
                         "(persistent XLA cache + StableHLO exports); "
@@ -289,7 +297,8 @@ def main(argv=None):
                           block_time=args.block_time,
                           crossfade_time=args.crossfade_time,
                           extra_time=args.extra_time,
-                          f0method=args.f0_method)
+                          f0method=args.f0_method,
+                          pipelined=args.pipelined)
     srv = VCServer((args.host, args.port), sched)
     print(f"tpu_rvc streaming server on {args.host}:{args.port} "
           f"({args.slots} slots, {sched.block_frame} samples/block "

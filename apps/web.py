@@ -44,8 +44,13 @@ class Api:
         self._vc = None
         # uvr separators are cached per (model, agg): a DeviceSeparator's
         # fused per-bucket graphs cost minutes to compile on the TPU
-        # (CLAUDE.md), so they must survive across requests
-        self._uvr = {}
+        # (CLAUDE.md), so they must survive across requests.  Bounded LRU:
+        # each entry pins its weight tree + per-bucket executables in
+        # device HBM, so sweeping agg values or loading several UVR models
+        # must evict, not accumulate.
+        from collections import OrderedDict
+        self._uvr = OrderedDict()
+        self._uvr_capacity = 4
 
     # ------------- model/index discovery (reference web.py:90-112) -------
     def lookup_names(self):
@@ -167,7 +172,9 @@ class Api:
         from tpu_rvc.pipeline.uvr5 import load_separator, DeviceSeparator
         from tpu_rvc.audio.io import save_audio
         sep = self._uvr.get((model_path, agg))
-        if sep is None:
+        if sep is not None:
+            self._uvr.move_to_end((model_path, agg))
+        else:
             sep = load_separator(model_path, agg=agg)
             if not hasattr(sep, "_path_audio_"):
                 import jax
@@ -178,6 +185,8 @@ class Api:
                     from tpu_rvc.utils.aot import AOTGraphCache
                     sep = DeviceSeparator(sep, aot_cache=AOTGraphCache())
             self._uvr[(model_path, agg)] = sep
+            while len(self._uvr) > self._uvr_capacity:
+                self._uvr.popitem(last=False)  # evict LRU; HBM freed on GC
         if hasattr(sep, "_path_audio_"):  # MDXNetDereverb interface
             sep._path_audio_(input_path, vocal_root, ins_root)
             return {"instrument": ins_root, "vocal": vocal_root}

@@ -137,6 +137,10 @@ def main():
     import statistics
     n_iter = 4 if smoke else 14
     depth = 2 if smoke else 3
+    # min-wall stats below require iterations that contain a blocking
+    # fetch (i >= depth) — with n_iter <= depth every wall would be
+    # dispatch-only, the exact ~10x inflation the steady-slice prevents
+    assert n_iter > depth, (n_iter, depth)
     # D2H fetches through the tunnel DO overlap each other (measured
     # 1.5-1.6x with 2 threads, benchmarks/fetch_concurrency.py; 4
     # threads is worse), so fetches run on a small pool instead of
@@ -174,7 +178,7 @@ def main():
     # Only iterations i >= depth contain a blocking fetch (popleft fires
     # once len(pending) > depth); the first `depth` walls are
     # async-dispatch-only and would inflate min-wall stats ~10x.
-    steady = times[depth:] if len(times) > depth else times[-1:]
+    steady = times[depth:]
     print(f"[bench] depth-{depth} pipelined: {elapsed * 1000:.1f} ms per "
           f"{dur_s:.0f} s utterance amortized over {n_iter} "
           f"(iter-wall median {statistics.median(steady)*1000:.0f}, "
@@ -224,8 +228,19 @@ def main():
     # session on identical graphs; the min FETCH-INCLUSIVE iteration wall
     # tracks the dispatch+fetch floor).  "value" stays the honest
     # amortized wall including every fetch — min_wall is reported
-    # alongside, not substituted.
+    # alongside, not substituted.  Caveat (recorded in the breakdown
+    # artifact): with fetch_threads>0 the blocking popleft is a future
+    # that may have completed while later dispatches ran, so min_wall is
+    # an upper bound on RTF, not a strict serial dispatch+fetch floor —
+    # BENCH_FETCH_THREADS=0 gives the serial A/B reading.
     min_wall = min(steady)
+    # roofline: FLOPs of the fused conversion graph (one dispatch per
+    # utterance), vs the chip's bf16 peak.  Amortized wall is the honest
+    # denominator; mfu_min_wall bounds what the tunnel hides.
+    from tpu_rvc.utils.roofline import mfu_fields
+    flops = pipe.last_graph_flops()
+    roof = mfu_fields(flops, elapsed)
+    roof_min = mfu_fields(flops, min_wall, prefix="min_wall_")
     print(json.dumps({
         "metric": "48kHz_conversion_RTF_full_quality_single_chip",
         "value": round(rtf, 2),
@@ -234,6 +249,10 @@ def main():
         "rtf_min_wall": round(dur_s / min_wall, 1),
         "iter_ms_median": round(statistics.median(steady) * 1000, 1),
         "iter_ms_min": round(min_wall * 1000, 1),
+        "flops_per_utterance": flops,
+        "achieved_tflops": roof["achieved_tflops"],
+        "mfu_pct": roof["mfu_pct"],
+        "mfu_pct_min_wall": roof_min["min_wall_mfu_pct"],
     }))
 
 
@@ -268,12 +287,15 @@ def _stage_breakdown(pipe, audio, dur_s, out_dev, n=5, f0_method="rmvpe"):
         return (round(statistics.median(walls) * 1000, 1),
                 round(amortized * 1000, 1))
 
+    from tpu_rvc.utils.roofline import graph_flops, mfu_fields
+
     dtype = pipe.dtype
     L16 = len(audio)
     p_len = L16 // 160
     wav = jnp.asarray(audio[None], dtype)
     hub_fn = jax.jit(lambda v, w: pipe.hubert.apply(v, w))
     t_hub = timeit(lambda: hub_fn(pipe.hubert_vars, wav))
+    f_hub = graph_flops(hub_fn, pipe.hubert_vars, wav)
 
     # hoist H2D uploads out of the timed call (like wav above): re-running
     # jnp.asarray(host_array) inside the lambda re-uploads 640 KB per
@@ -289,10 +311,12 @@ def _stage_breakdown(pipe, audio, dur_s, out_dev, n=5, f0_method="rmvpe"):
         f0_fn = jax.jit(lambda v, w: rmvpe_f0_device(
             w, p_len, 0.0, est.model, v, dtype=dtype)[1])
         t_f0 = timeit(lambda: f0_fn(est.variables, wav32))
+        f_f0 = graph_flops(f0_fn, est.variables, wav32)
     else:
         zkey = jnp.asarray(0.0)
         f0_fn = jax.jit(lambda w, k: pm_f0_device(w, p_len, k)[1])
         t_f0 = timeit(lambda: f0_fn(wav32, zkey))
+        f_f0 = graph_flops(f0_fn, wav32, zkey)
 
     rng = np.random.default_rng(1)
     phone = jnp.asarray(rng.standard_normal((1, p_len, 768)), dtype)
@@ -303,6 +327,8 @@ def _stage_breakdown(pipe, audio, dur_s, out_dev, n=5, f0_method="rmvpe"):
         rngs={"noise": k}, method=pipe.synth.infer))
     t_syn = timeit(lambda: syn_fn(pipe.synth_vars, phone, pitch, pitchf,
                                   jax.random.PRNGKey(9)))
+    f_syn = graph_flops(syn_fn, pipe.synth_vars, phone, pitch, pitchf,
+                        jax.random.PRNGKey(9))
 
     # D2H of the int16 output: each iteration fetches a FRESH device
     # buffer (np.asarray of an already-fetched array returns the cached
@@ -316,14 +342,25 @@ def _stage_breakdown(pipe, audio, dur_s, out_dev, n=5, f0_method="rmvpe"):
     t_d2h = round(statistics.median(d2h) * 1000, 1)
 
     stages = {"hubert": t_hub, f"{f0_method}_f0": t_f0, "synth": t_syn}
+    flops = {"hubert": f_hub, f"{f0_method}_f0": f_f0, "synth": f_syn}
+    roofline = {k: mfu_fields(flops[k], stages[k][1] / 1000.0)
+                for k in stages if flops[k] is not None}
     return {"utterance_s": dur_s,
             "stages_ms_dispatch_inclusive": {
                 k: v[0] for k, v in stages.items()} | {"d2h_int16": t_d2h},
             "stages_ms_amortized": {k: v[1] for k, v in stages.items()},
+            "stages_roofline": roofline,
+            "min_wall_caveat": "with fetch_threads>0 the blocking fetch "
+                               "is a future that may already be done, so "
+                               "iter_ms_min/rtf_min_wall are upper-bound "
+                               "signals, not a strict serial "
+                               "dispatch+fetch floor "
+                               "(BENCH_FETCH_THREADS=0 for the serial A/B)",
             "note": "dispatch-inclusive = one dispatch + fetch (tunnel "
                     "RTT + D2H included); amortized = 8 async dispatches "
                     "/ one fetch, approximating on-chip steady-state — "
-                    "the fused pipeline pays the amortized column"}
+                    "the fused pipeline pays the amortized column; "
+                    "roofline = amortized-wall MFU vs the chip bf16 peak"}
 
 
 if __name__ == "__main__":

@@ -173,8 +173,8 @@ def test_reattach_during_dispatch_gets_no_foreign_audio(sched):
     orig = sched.fused
     took_over = []
 
-    def hijack(state, seg, fed=None):
-        out, st = orig(state, seg, fed=fed)
+    def hijack(state, seg, fed=None, fetch=True):
+        out, st = orig(state, seg, fed=fed, fetch=fetch)
         # simulate the race: the old client leaves and a new one claims
         # the same slot while the dispatch is still in flight
         sched.detach(s)
@@ -430,3 +430,50 @@ def test_fused_stream_graph_aot_roundtrip(tmp_path, engine):
         np.testing.assert_allclose(out1, out2, atol=1e-6)
     else:  # donated-arg export unsupported: fallback path must still work
         assert cache2.misses >= 1
+
+
+def test_pipelined_tick_parity_and_delay(engine):
+    """pipelined=True overlaps tick k's fetch with tick k+1's dispatch:
+    the first tick delivers nothing (its block is in flight), every
+    later tick delivers the previous tick's block, flush() drains the
+    final one, and the total stream content is identical to the serial
+    scheduler (in-order drain keeps SOLA seams consistent)."""
+    kw = dict(n_slots=2, samplerate=16000, block_time=0.16,
+              crossfade_time=0.04, extra_time=0.64, f0method="pm",
+              clock=FakeClock())
+    n = 4
+    results = {}
+    for pipelined in (False, True):
+        s = SlotScheduler(engine, pipelined=pipelined, **kw)
+        bf = s.block_frame
+        s0, s1 = s.attach(), s.attach()
+        s.submit(s0, tone(220.0, dur=n * bf / 16000))
+        s.submit(s1, tone(330.0, dur=n * bf / 16000))
+        got0, got1, per_tick = [], [], []
+        while s.ready():
+            s.tick()
+            a, b = s.collect(s0), s.collect(s1)
+            per_tick.append(len(a))
+            got0.append(a)
+            got1.append(b)
+        s.flush()
+        flushed = s.collect(s0)
+        got0.append(flushed)
+        got1.append(s.collect(s1))
+        st = s.stats()
+        assert st["underruns"] == [0, 0]
+        assert st["blocks"] == [n, n], (pipelined, st)
+        results[pipelined] = (np.concatenate(got0), np.concatenate(got1),
+                              per_tick, len(flushed))
+
+    ser0, ser1, ser_ticks, ser_flush = results[False]
+    pip0, pip1, pip_ticks, pip_flush = results[True]
+    bf = 2560
+    assert len(ser0) == n * bf and len(pip0) == n * bf
+    # serial: every tick delivers its own block, nothing left to flush
+    assert ser_ticks == [bf] * n and ser_flush == 0
+    # pipelined: first tick delivers nothing, flush drains the last block
+    assert pip_ticks == [0] + [bf] * (n - 1) and pip_flush == bf
+    # identical audio (same graphs, same per-dispatch noise keys)
+    np.testing.assert_allclose(pip0, ser0, atol=1e-6)
+    np.testing.assert_allclose(pip1, ser1, atol=1e-6)

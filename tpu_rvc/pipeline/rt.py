@@ -688,6 +688,7 @@ class FusedStreamGraph:
                 f"n={n}",
                 self._jit)
         self._step = 0
+        self._last_call_avals = None
 
     def init_state(self):
         state = {
@@ -797,7 +798,10 @@ class FusedStreamGraph:
             lambda n, o: jnp.where(fed, n, o), new_state, state)
         return out, new_state
 
-    def __call__(self, state, seg48: np.ndarray, fed=None):
+    def __call__(self, state, seg48: np.ndarray, fed=None, fetch=True):
+        """fetch=False returns the output still on device (a later
+        np.asarray triggers the D2H) — the tick-pipelining hook: the
+        scheduler overlaps tick k's fetch with tick k+1's dispatch."""
         eng = self.engine
         if eng.index is not None and eng.index_rate > 0:
             vecs, sq = eng.index.device_arrays()
@@ -815,11 +819,23 @@ class FusedStreamGraph:
                 jnp.arange(self.n_streams, dtype=jnp.uint32))
             fed_arg = (jnp.ones(self.n_streams, bool) if fed is None
                        else jnp.asarray(fed, bool))
-        out, new_state = self._jit(
-            eng.hubert_vars, eng.synth_vars, self._rmvpe_vars, state,
-            jnp.asarray(seg48),
-            vecs, sq, jnp.asarray(eng.index_rate, jnp.float32),
-            jnp.asarray(float(eng.f0_up_key)),
-            jnp.asarray(self.protect, jnp.float32),
-            key, fed_arg)
-        return np.asarray(out), new_state
+        call_args = (eng.hubert_vars, eng.synth_vars, self._rmvpe_vars,
+                     state, jnp.asarray(seg48),
+                     vecs, sq, jnp.asarray(eng.index_rate, jnp.float32),
+                     jnp.asarray(float(eng.f0_up_key)),
+                     jnp.asarray(self.protect, jnp.float32),
+                     key, fed_arg)
+        if self._last_call_avals is None:  # roofline FLOP-count snapshot
+            self._last_call_avals = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                               jnp.result_type(x)),
+                call_args)
+        out, new_state = self._jit(*call_args)
+        return (np.asarray(out) if fetch else out), new_state
+
+    def last_graph_flops(self):
+        """XLA-counted FLOPs of one block dispatch (utils/roofline.py)."""
+        if self._last_call_avals is None:
+            return None
+        from tpu_rvc.utils.roofline import graph_flops
+        return graph_flops(self._jit, *self._last_call_avals)

@@ -98,7 +98,7 @@ class SlotScheduler:
                  samplerate: int = 48000, block_time: float = 0.25,
                  crossfade_time: float = 0.05, extra_time: float = 2.5,
                  f0method: str = "rmvpe", protect: float = 1.0,
-                 clock=time.monotonic):
+                 clock=time.monotonic, pipelined: bool = False):
         # clock: injectable monotonic time source — the underrun cadence
         # ("a started slot is silence-fed once a full block_time past its
         # last feed") compares clock() readings; tests substitute a
@@ -158,6 +158,20 @@ class SlotScheduler:
         self.underruns = [0] * self.n_slots
         self.blocks = [0] * self.n_slots
         self.ticks = 0
+        # pipelined=True: tick k's device->host fetch overlaps tick k+1's
+        # host prep + dispatch (a depth-1 double buffer on a fetch
+        # thread).  Trades one extra block of delivery latency for a
+        # tick critical path of max(dispatch, fetch) instead of their
+        # sum — on remote-attached chips the fetch share of the tick is
+        # tunnel RTT, which this hides entirely.  Delivery ORDER is
+        # unchanged (in-order drain), so SOLA seams stay consistent.
+        self.pipelined = bool(pipelined)
+        self._fetch_pool = None
+        self._inflight = None  # (np-out future, fed list, gen snapshot)
+        if self.pipelined:
+            import concurrent.futures as cf
+            self._fetch_pool = cf.ThreadPoolExecutor(
+                1, thread_name_prefix="tick-fetch")
 
     # ---- client-thread side ------------------------------------------
     def attach(self) -> int:
@@ -261,16 +275,57 @@ class SlotScheduler:
                 self.state = jax.tree.map(
                     lambda x: x.at[idx].set(0), self.state)
         if not any(fed):  # nothing due — no dispatch
+            self._drain_inflight()  # deliver a pending pipelined block
             with self._lock:
                 self.ticks += 1
                 return self.stats_locked()
         if self.n_slots == 1:
-            out, self.state = self.fused(self.state, seg[0], fed=fed[0])
-            out = out[None]
+            out, self.state = self.fused(self.state, seg[0], fed=fed[0],
+                                         fetch=not self.pipelined)
+            if not self.pipelined:
+                out = out[None]
         else:
             out, self.state = self.fused(self.state, seg,
-                                         fed=np.asarray(fed))
+                                         fed=np.asarray(fed),
+                                         fetch=not self.pipelined)
 
+        if self.pipelined:
+            # hand the fetch to the pool NOW (it overlaps whatever the
+            # tick thread does next), deliver LAST tick's block
+            fut = self._fetch_pool.submit(np.asarray, out)
+            self._inflight, prev = (fut, fed, gen), self._inflight
+            if prev is not None:
+                pout = prev[0].result()
+                if self.n_slots == 1:
+                    pout = pout[None]
+                self._deliver(pout, prev[1], prev[2])
+            with self._lock:
+                self.ticks += 1
+                return self.stats_locked()
+
+        self._deliver(out, fed, gen)
+        with self._lock:
+            self.ticks += 1
+            return self.stats_locked()
+
+    def flush(self) -> None:
+        """Deliver the pipelined in-flight block, if any (call at
+        shutdown or when pausing the tick thread)."""
+        self._drain_inflight()
+
+    def _drain_inflight(self) -> None:
+        if self._inflight is None:
+            return
+        fut, fed, gen = self._inflight
+        self._inflight = None
+        out = fut.result()
+        if self.n_slots == 1:
+            out = out[None]
+        self._deliver(out, fed, gen)
+
+    def _deliver(self, out, fed, gen) -> None:
+        """SOLA-merge + queue one dispatch's output (tick thread only)."""
+        bf = self.block_frame
         with self._lock:
             for s in range(self.n_slots):
                 # gen check: a slot re-attached during the dispatch must
@@ -284,8 +339,6 @@ class SlotScheduler:
                     self.sola_search_frame)
                 self._out_buf[s].push(merged)
                 self.blocks[s] += 1
-            self.ticks += 1
-            return self.stats_locked()
 
     # ---- introspection -----------------------------------------------
     def stats_locked(self) -> Dict[str, object]:

@@ -529,6 +529,18 @@ class DeviceSeparator:
                 fn)
         return fn
 
+    def last_graph_flops(self):
+        """XLA-counted FLOPs of one dispatch of the most recently built
+        separation graph (utils/roofline.py MFU numerator)."""
+        if not self._graphs:
+            return None
+        T4 = list(self._graphs)[-1]
+        from tpu_rvc.utils.roofline import graph_flops
+        return graph_flops(
+            self._graphs[T4], self.sep.variables,
+            jax.ShapeDtypeStruct((2, T4), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.float32))
+
     # -- public API -------------------------------------------------------
     def separate(self, music_file: str, fetch: bool = True):
         """Returns (instrument, vocal, sr): (T, 2) int16 numpy if fetch,

@@ -126,6 +126,19 @@ class Pipeline:
         # set when the last pipeline() call silently substituted an f0
         # method (e.g. "fcpe->pm (no checkpoint)"); surfaced by VC.vc_single
         self.last_f0_note: Optional[str] = None
+        # (graph, arg avals) of the most recent fused full-graph dispatch;
+        # consumed by last_graph_flops() for roofline/MFU accounting
+        self._last_full_call: Optional[Tuple] = None
+
+    def last_graph_flops(self) -> Optional[float]:
+        """XLA-counted FLOPs of one dispatch of the most recent fused
+        conversion graph (utils/roofline.py) — the MFU numerator the
+        benchmarks record next to their walls."""
+        if self._last_full_call is None:
+            return None
+        from tpu_rvc.utils.roofline import graph_flops
+        graph, avals = self._last_full_call
+        return graph_flops(graph, *avals)
 
     # ------------------------------------------------------------------
     def _chunk_graph(self, bucket_len: int, use_f0: bool, has_index: bool,
@@ -361,13 +374,19 @@ class Pipeline:
             rmvpe_vars = (self.f0_gen._get(f0_mode).variables
                           if use_f0 and f0_mode in ("rmvpe", "fcpe") else {})
             t0 = time.time()
-            out = graph(self.hubert_vars, self.synth_vars, rmvpe_vars,
-                        jnp.asarray(audio_pad),
-                        jnp.asarray(float(f0_up_key)), jnp.asarray(sid),
-                        vecs, sq, jnp.asarray(index_rate, jnp.float32),
-                        jnp.asarray(protect, jnp.float32),
-                        jnp.asarray(rms_mix_rate, jnp.float32),
-                        jax.random.PRNGKey(noise_seed))
+            call_args = (self.hubert_vars, self.synth_vars, rmvpe_vars,
+                         jnp.asarray(audio_pad),
+                         jnp.asarray(float(f0_up_key)), jnp.asarray(sid),
+                         vecs, sq, jnp.asarray(index_rate, jnp.float32),
+                         jnp.asarray(protect, jnp.float32),
+                         jnp.asarray(rms_mix_rate, jnp.float32),
+                         jax.random.PRNGKey(noise_seed))
+            # aval snapshot for roofline FLOP counting (last_graph_flops)
+            self._last_full_call = (graph, jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                               jnp.result_type(x)),
+                call_args))
+            out = graph(*call_args)
             if L != L_true:  # trim the bucket tail to the true length
                 upsample = math.prod(self.synth.upsample_rates)
                 p_len_static = min(L // WINDOW, _feat_frames(L))

@@ -202,11 +202,21 @@ class AOTGraphCache:
                     # shape-check TypeError/ValueError at trace time, or
                     # as a backend XlaRuntimeError(INVALID_ARGUMENT) when
                     # the mismatch (layout/sharding vs the deserialized
-                    # executable) is only caught at run time.
+                    # executable) is only caught at run time.  The backend
+                    # match is deliberately narrow: INVALID_ARGUMENT also
+                    # covers genuinely bad caller inputs, so require a
+                    # mismatch keyword too, and log the class either way
+                    # so a misclassification is diagnosable from the logs.
                     if isinstance(e, (TypeError, ValueError)):
                         return True
-                    return (type(e).__name__ == "XlaRuntimeError"
-                            and "INVALID_ARGUMENT" in str(e))
+                    stale = (type(e).__name__ == "XlaRuntimeError"
+                             and "INVALID_ARGUMENT" in str(e)
+                             and any(kw in str(e).lower() for kw in
+                                     ("shape", "layout", "sharding",
+                                      "incompatible", "mismatch")))
+                    logger.info("AOT runtime fault class=%s stale=%s: %s",
+                                type(e).__name__, stale, e)
+                    return stale
 
                 def call_loaded(*args):
                     if not state["fallback"]:
@@ -231,6 +241,9 @@ class AOTGraphCache:
                     return jitted(*args)
 
                 call_loaded.aot_cache_status = "hit"  # type: ignore
+                # underlying jitted fn, for client-side FLOP counting
+                # (utils/roofline.graph_flops lowers it without compiling)
+                call_loaded.jitted = jitted  # type: ignore
                 return call_loaded
             except Exception as e:  # corrupt/stale entry: re-trace
                 logger.warning("AOT cache entry unusable (%s): %s", key, e)
@@ -250,6 +263,7 @@ class AOTGraphCache:
             return out
 
         call_and_export.aot_cache_status = "miss"  # type: ignore
+        call_and_export.jitted = jitted  # type: ignore
         return call_and_export
 
     def stats(self) -> dict:
