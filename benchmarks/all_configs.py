@@ -92,6 +92,10 @@ def _pipelined_rtf(pipe, audio, dur_s, convert, n_iter, depth):
     """bench.py's accounting: wall/n INCLUDING the drain."""
     import collections
     import numpy as np
+    # min-wall stats require fetch-inclusive iterations (i >= depth);
+    # n_iter <= depth would leave only dispatch-only walls — the exact
+    # ~10x inflation the steady-slice exists to prevent
+    assert n_iter > depth, (n_iter, depth)
     t0 = time.time()
     np.asarray(convert())
     compile_s = time.time() - t0
@@ -113,8 +117,8 @@ def _pipelined_rtf(pipe, audio, dur_s, convert, n_iter, depth):
     # async-dispatch-only (~16 ms vs ~180 ms fetch-inclusive) and would
     # inflate a min taken over them ~10x.  min/median are therefore
     # restricted to the fetch-inclusive steady-state iterations.
-    steady = walls[depth:] if len(walls) > depth else walls[-1:]
-    return {
+    steady = walls[depth:]
+    out = {
         "rtf": round(dur_s / per, 2),
         "ms_per_utt_amortized": round(per * 1000, 1),
         "iter_ms_min": round(min(steady) * 1000, 1),
@@ -122,10 +126,17 @@ def _pipelined_rtf(pipe, audio, dur_s, convert, n_iter, depth):
         # tunnel-load-independent signal (docs/en/performance.md: the
         # remote tunnel's stall variance is 10-20x; the min
         # fetch-inclusive wall is the stable cross-session indicator of
-        # the graph's real dispatch+fetch cost)
+        # the graph's real dispatch+fetch cost).  Caveat: the fetch here
+        # is serial (np.asarray on the dispatch thread), so unlike
+        # bench.py's pooled variant this IS a dispatch+fetch wall.
         "rtf_min_wall": round(dur_s / min(steady), 1),
         "compile_first_run_s": round(compile_s, 1),
     }
+    # roofline: FLOPs of the fused conversion graph / amortized wall vs
+    # the chip's bf16 peak (utils/roofline.py)
+    from tpu_rvc.utils.roofline import mfu_fields
+    out.update(mfu_fields(pipe.last_graph_flops(), per))
+    return out
 
 
 def config1(aot_cache=None):
@@ -141,6 +152,15 @@ def config1(aot_cache=None):
     n, depth = (3, 1) if SMOKE else (10, 3)
     out = _pipelined_rtf(pipe, audio, dur, convert, n, depth)
     out["desc"] = "10s wav, v2/40k, f0=pm, no retrieval, single stream"
+    # per-stage floor analysis for the pm path (round-4 verdict: the
+    # SIMPLEST config benchmarked slower than full quality with no
+    # breakdown to attribute it) — same harness as bench.py's rmvpe split
+    try:
+        from bench import _stage_breakdown
+        out["stage_breakdown"] = _stage_breakdown(
+            pipe, audio, dur, convert(fetch=False), f0_method="pm")
+    except Exception as e:
+        out["stage_breakdown"] = {"error": f"{type(e).__name__}: {e}"}
     return out
 
 
@@ -221,33 +241,55 @@ def config3(aot_cache=None):
     pool = ThreadPoolExecutor(2)
     t0 = time.time()
     total_audio = 0.0
-    # phase 1: dispatch every separation async (device queues them)
+    # fully pipelined (round-4 verdict: stem D2H was ~half the per-file
+    # wall and never overlapped with the next file's compute):
+    #   1. dispatch EVERY separation async (device queues them)
+    #   2. stem fetches run on the pool, overlapping device compute
+    #   3. as each file's stems land, its conversion is DISPATCHED
+    #      async (device works on file k+1's separation/conversion
+    #      while file k's stems drain), outputs fetched on the pool
     handles = [dev.separate(p, fetch=False) for p in files]
     t_dispatch = time.time() - t0
 
-    def fetch(h):
+    def fetch_stems(h):
         i16, v16, sr_f, n_out = h
         return (np.asarray(i16)[:n_out], np.asarray(v16)[:n_out], sr_f)
 
-    # phase 2: fetch stems on the pool (overlaps D2H with device compute)
-    stems = list(pool.map(fetch, handles))
-    t_fetch = time.time() - t0 - t_dispatch
-    # phase 3: convert each vocal stem at 48k
-    for ins, voc, sr_f in stems:
+    stem_futs = [pool.submit(fetch_stems, h) for h in handles]
+    conv_futs = []
+    t_stems_done = None
+    for k, fut in enumerate(stem_futs):
+        ins, voc, sr_f = fut.result()
+        if k == len(stem_futs) - 1:
+            t_stems_done = time.time() - t0
         wav16 = _resample(voc.mean(axis=1) / 32768.0, sr_f, 16000)
-        out = np.asarray(pipe.pipeline(0, wav16, [0, 0, 0], 0, "pm", None,
-                                       0.0, 1, 3, 0, 0.25, 0.33))
-        total_audio += len(out) / 48000.0
+        out_dev = pipe.pipeline(0, wav16, [0, 0, 0], 0, "pm", None,
+                                0.0, 1, 3, 0, 0.25, 0.33, fetch=False)
+        conv_futs.append(pool.submit(np.asarray, out_dev))
+    for fut in conv_futs:
+        total_audio += len(fut.result()) / 48000.0
     wall = time.time() - t0
+    from tpu_rvc.utils.roofline import mfu_fields
+    per_file = wall / n_files
+    sep_flops = dev.last_graph_flops()
+    conv_flops = pipe.last_graph_flops()
+    both = ((sep_flops + conv_flops)
+            if sep_flops is not None and conv_flops is not None else None)
     return {
         "desc": f"{n_files} files x {dur:.0f}s: UVR5 4-band separation + "
-                "48k conversion per file (device-resident separation)",
+                "48k conversion per file (device-resident separation, "
+                "stem fetch + conversion dispatch fully overlapped)",
         "wall_s": round(wall, 2),
         "audio_seconds_per_second": round(total_audio / wall, 2),
         "files_per_min": round(n_files / wall * 60, 1),
-        "breakdown_s": {"separate_dispatch": round(t_dispatch, 2),
-                        "stem_fetch": round(t_fetch, 2),
-                        "convert": round(wall - t_dispatch - t_fetch, 2)},
+        "breakdown_s": {
+            "separate_dispatch": round(t_dispatch, 2),
+            "stems_plus_convert_overlapped": round(
+                wall - t_dispatch, 2),
+            "last_stem_landed_at": round(t_stems_done, 2)},
+        "separation_graph": mfu_fields(sep_flops, per_file),
+        "conversion_graph": mfu_fields(conv_flops, per_file),
+        **mfu_fields(both, per_file, prefix="combined_"),
     }
 
 
@@ -328,6 +370,7 @@ def config4(aot_cache=None):
     walls = sorted(walls)
     p50 = statistics.median(walls)
     p90 = walls[max(int(0.9 * len(walls)) - 1, 0)]
+    from tpu_rvc.utils.roofline import mfu_fields
     return {
         "desc": "160 ms blocks, fused single-dispatch stream graph, "
                 f"f0={f0method}, extra context {extra * 10} ms",
@@ -337,6 +380,9 @@ def config4(aot_cache=None):
         "realtime_ok": bool(p50 < 0.160),
         "algorithmic_delay_ms": round((16 + 5 + 1) * 10 + 10, 1),
         "compile_first_run_s": round(compile_s, 1),
+        # p50 wall is dispatch+fetch; the MFU here understates the chip's
+        # on-chip utilization by the tunnel share of the block
+        **mfu_fields(fused.last_graph_flops(), p50),
     }
 
 
@@ -419,10 +465,13 @@ def config5(aot_cache=None):
     disp_per_step = statistics.median(walls1)
 
     utt_s = B * T * hp.data.hop_length / hp.data.sampling_rate
+    from tpu_rvc.utils.roofline import graph_flops, mfu_fields
+    step_flops = graph_flops(step, state, batch, jax.random.PRNGKey(3))
     return {
         "desc": f"v2/48k GAN step, B={B}, T={T} frames "
                 f"({T * hp.data.hop_length / hp.data.sampling_rate:.1f}s "
                 "per item)",
+        **mfu_fields(step_flops, amp_per_step),
         "amplified_ms_per_step": round(amp_per_step * 1000, 1),
         "dispatch_inclusive_ms_per_step": round(disp_per_step * 1000, 1),
         "steps_per_second_amplified": round(1 / amp_per_step, 2),
@@ -489,11 +538,17 @@ def config6(aot_cache=None):
     block_s = 0.16
     per_n = {}
     capacity = 0
+    capacity_serial = 0
     extra = 0.5 if SMOKE else 2.5
+    from tpu_rvc.utils.roofline import mfu_fields
     for N in ((1, 2) if SMOKE else (4, 8, 16, 24)):
+        # built pipelined; the serial A/B below toggles the flag on the
+        # same instance (same compiled graph — the A/B isolates the
+        # fetch share of the tick, the F0_FLOOR-style split)
         sched = SlotScheduler(eng, n_slots=N, samplerate=sr,
                               block_time=block_s, crossfade_time=0.05,
-                              extra_time=extra, f0method=f0method)
+                              extra_time=extra, f0method=f0method,
+                              pipelined=True)
         bf = sched.block_frame
         slots = [sched.attach() for _ in range(N)]
         t = np.arange(bf) / sr
@@ -503,35 +558,58 @@ def config6(aot_cache=None):
         t0 = time.time()
         sched.tick()
         compile_s = time.time() - t0
-        walls = []
-        for _ in (range(5) if SMOKE else range(20)):
-            for s in slots:
-                sched.submit(s, (0.4 * np.sin(2 * np.pi * 220 * t))
-                             .astype(np.float32))
-                sched.collect(s)
-            t0 = time.time()
-            sched.tick()
-            walls.append(time.time() - t0)
-        walls = sorted(walls)
-        p50 = statistics.median(walls)
-        p90 = walls[max(int(0.9 * len(walls)) - 1, 0)]
+        n_reps = 5 if SMOKE else 20
+
+        def run_ticks(n_reps):
+            walls = []
+            for _ in range(n_reps):
+                for s in slots:
+                    sched.submit(s, (0.4 * np.sin(2 * np.pi * 220 * t))
+                                 .astype(np.float32))
+                    sched.collect(s)
+                t0 = time.time()
+                sched.tick()
+                walls.append(time.time() - t0)
+            walls = sorted(walls)
+            return (statistics.median(walls),
+                    walls[max(int(0.9 * len(walls)) - 1, 0)])
+
+        # serial ticks first (dispatch + fetch on the tick thread)
+        sched.flush()
+        sched.pipelined = False
+        s50, s90 = run_ticks(n_reps)
+        # pipelined ticks: fetch of tick k overlaps dispatch of tick k+1
+        sched.pipelined = True
+        p50, p90 = run_ticks(n_reps)
+        sched.flush()
         st = sched.stats()
         per_n[str(N)] = {
             "tick_p50_ms": round(p50 * 1000, 1),
             "tick_p90_ms": round(p90 * 1000, 1),
+            "serial_tick_p50_ms": round(s50 * 1000, 1),
+            "serial_tick_p90_ms": round(s90 * 1000, 1),
+            # serial - pipelined p50 ~= the D2H/tunnel share of a tick
+            "fetch_share_ms_p50": round((s50 - p50) * 1000, 1),
             "compile_first_tick_s": round(compile_s, 1),
             "underruns": int(sum(st["underruns"])),
+            **mfu_fields(sched.fused.last_graph_flops(), p50),
         }
         if p90 < block_s:
             capacity = N
-        print(f"[config6] N={N}: p50 {p50 * 1000:.1f} ms, "
-              f"p90 {p90 * 1000:.1f} ms", flush=True)
+        if s90 < block_s:
+            capacity_serial = N
+        print(f"[config6] N={N}: pipelined p50 {p50 * 1000:.1f} / "
+              f"p90 {p90 * 1000:.1f} ms; serial p50 {s50 * 1000:.1f} / "
+              f"p90 {s90 * 1000:.1f} ms", flush=True)
     return {
         "desc": "N concurrent 160 ms streams via SlotScheduler "
-                f"(f0={f0method}); capacity = max N with tick p90 < block",
+                f"(f0={f0method}); capacity = max N with tick p90 < "
+                "block, pipelined ticks (tick k's fetch overlaps tick "
+                "k+1's dispatch, +1 block delivery latency)",
         "block_ms": block_s * 1000,
         "per_n_streams": per_n,
         "max_streams_p90_under_block": capacity,
+        "max_streams_p90_under_block_serial_ticks": capacity_serial,
     }
 
 
