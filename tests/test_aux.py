@@ -265,3 +265,35 @@ def test_attempt_report_rejects_corrupt_existing_file(tmp_path, monkeypatch):
                if a["asset"] == "hubert/hubert_base.pt"]
     assert any("sha256" in (a.get("error") or "") for a in refetch)
     assert not rep["all_ok"]
+
+
+def test_roofline_graph_flops_and_mfu():
+    """graph_flops counts 2·M·K·N for a matmul (XLA client-side HLO cost
+    analysis; utils/roofline.py) and falls back to a CPU-backend lowering
+    when the native backend reports nothing (the remote-attach TPU
+    returns None from lowered.cost_analysis()).  mfu_fields arithmetic +
+    None propagation."""
+    from tpu_rvc.utils.roofline import graph_flops, mfu_fields
+
+    f = jax.jit(lambda a, b: a @ b)
+    aval = jax.ShapeDtypeStruct((64, 64), "float32")
+    flops = graph_flops(f, aval, aval)
+    assert flops is not None
+    # 2*M*K*N (some XLA versions count 2*M*K*N - M*N for the first acc)
+    assert 2 * 64**3 * 0.9 <= flops <= 2 * 64**3 * 1.1
+
+    # plain-callable path (jitted inside graph_flops)
+    flops2 = graph_flops(lambda a, b: a @ b, aval, aval)
+    assert flops2 == flops
+
+    out = mfu_fields(flops, 1e-3, peak_tflops=100.0)
+    assert out["flops_per_item"] == flops
+    assert out["achieved_tflops"] == round(flops / 1e-3 / 1e12, 3)
+    assert out["mfu_pct"] == round(100.0 * flops / 1e-3 / 1e12 / 100.0, 2)
+
+    # None flops / unknown peak propagate as nulls, fields always present
+    out = mfu_fields(None, 1.0, peak_tflops=100.0, prefix="x_")
+    assert out == {"x_flops_per_item": None, "x_achieved_tflops": None,
+                   "x_mfu_pct": None}
+    out = mfu_fields(1e9, 1.0, peak_tflops=None)
+    assert out["achieved_tflops"] == 0.001 and out["mfu_pct"] is None

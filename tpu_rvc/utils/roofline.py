@@ -55,17 +55,28 @@ def graph_flops(fn, *args) -> Optional[float]:
 
     `fn` may be a jitted function, an AOTGraphCache wrapper (its `.jitted`
     attribute is used), or a plain python callable (jitted here for the
-    lowering only).  Returns None when cost analysis is unavailable."""
-    try:
-        target = getattr(fn, "jitted", fn)
-        if not hasattr(target, "lower"):
-            target = jax.jit(target)
-        ca = target.lower(*args).cost_analysis()
-        if isinstance(ca, (list, tuple)):  # one entry per device
-            ca = ca[0]
-        return float(ca["flops"])
-    except Exception:
-        return None
+    lowering only).  Returns None when cost analysis is unavailable.
+
+    The remote-attached TPU backend (axon) returns None from
+    `lowered.cost_analysis()` (no client-side HLO analysis), so when the
+    native lowering yields nothing the same function is re-lowered for
+    the always-present CPU backend — the numerator is a property of the
+    traced HLO (2·M·K·N matmul/conv FLOPs, one per output element for
+    elementwise), not of the executing chip, so the count is identical."""
+    target = getattr(fn, "jitted", fn)
+    for backend in (None, "cpu"):
+        try:
+            t = target
+            if backend is not None or not hasattr(t, "lower"):
+                t = jax.jit(t, backend=backend)
+            ca = t.lower(*args).cost_analysis()
+            if isinstance(ca, (list, tuple)):  # one entry per device
+                ca = ca[0]
+            if ca is not None and "flops" in ca:
+                return float(ca["flops"])
+        except Exception:
+            continue
+    return None
 
 
 def mfu_fields(flops: Optional[float], seconds: float,
