@@ -28,6 +28,18 @@ from .modules import Conv1d, LayerNorm1d
 # the kernel has no VJP).  Pipelines set this around synth.apply.
 PALLAS_ATTENTION = False
 
+# Trace-time override FORCING the pure-XLA formulation even inside a
+# `pallas_attention()` block.  utils/roofline.graph_flops sets this around
+# its CPU-backend re-lowering: a TPU pallas_call cannot lower for the CPU
+# backend ("Only interpret mode is supported"), so FLOP counting re-traces
+# the graph with every kernel swapped for its exact XLA equivalent.  The
+# dense rel-attention counts slightly MORE flops than the banded kernel
+# executes (full T x T scores vs the 2W+1 band) — an upper bound on the
+# attention term, <1% of any graph total here (all are conv-dominated).
+# Module global, not a contextvar: consulted only at trace time, and
+# graph_flops never runs concurrently with another trace in this codebase.
+FORCE_XLA_ATTENTION = False
+
 
 class pallas_attention:
     """Context manager enabling the fused kernels while tracing an
@@ -64,9 +76,11 @@ class pallas_attention:
         self.prev = PALLAS_ATTENTION
         self.prev_rb = _modules.PALLAS_RESBLOCKS
         self.prev_st = _modules.PALLAS_STAGE_CHANNELS
-        PALLAS_ATTENTION = self.enabled
-        _modules.PALLAS_RESBLOCKS = self.resblocks
-        _modules.PALLAS_STAGE_CHANNELS = self.stage_channels
+        PALLAS_ATTENTION = self.enabled and not FORCE_XLA_ATTENTION
+        _modules.PALLAS_RESBLOCKS = (self.resblocks
+                                     and not FORCE_XLA_ATTENTION)
+        _modules.PALLAS_STAGE_CHANNELS = (frozenset() if FORCE_XLA_ATTENTION
+                                          else self.stage_channels)
         return self
 
     def __exit__(self, *exc):

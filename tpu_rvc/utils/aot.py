@@ -110,7 +110,17 @@ def source_fingerprint() -> str:
                 if not name.endswith(".py"):
                     continue
                 path = os.path.join(root, name)
-                h.update(os.path.relpath(path, pkg_dir).encode())
+                rel = os.path.relpath(path, pkg_dir)
+                # utils/roofline.py is introspection-only: it LOWERS
+                # already-built graphs for FLOP counting and contributes
+                # no ops to any traced graph, so accounting fixes there
+                # must not cold-start every compiled-graph cache (a full
+                # re-export+compile pass costs ~1 h through the remote
+                # compile service).  Keep this list strictly to modules
+                # that can never construct graph ops.
+                if rel in ("utils/roofline.py",):
+                    continue
+                h.update(rel.encode())
                 with open(path, "rb") as f:
                     h.update(f.read())
         _SRC_FINGERPRINT = h.hexdigest()[:12]

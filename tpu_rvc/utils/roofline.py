@@ -62,21 +62,54 @@ def graph_flops(fn, *args) -> Optional[float]:
     native lowering yields nothing the same function is re-lowered for
     the always-present CPU backend — the numerator is a property of the
     traced HLO (2·M·K·N matmul/conv FLOPs, one per output element for
-    elementwise), not of the executing chip, so the count is identical."""
+    elementwise), not of the executing chip, so the count is identical.
+
+    Two subtleties in the CPU fallback (both found the hard way — the
+    bench graphs all contain the Pallas banded-attention kernel on TPU):
+      * it re-traces from the RAW python callable (`__wrapped__`), not
+        through the jitted wrapper: tracing through the inner jit replays
+        its cached TPU jaxpr, pallas_call(interpret=False) included, and
+        a TPU pallas_call cannot lower for the CPU backend;
+      * the re-trace runs under `nn.attention.FORCE_XLA_ATTENTION`, which
+        makes `pallas_attention()` blocks inside the graph a no-op so the
+        kernels are swapped for their exact XLA formulations (the dense
+        rel-attention upper-bounds the banded kernel's FLOPs by <1% of
+        any conv-dominated graph total here)."""
     target = getattr(fn, "jitted", fn)
-    for backend in (None, "cpu"):
-        try:
-            t = target
-            if backend is not None or not hasattr(t, "lower"):
-                t = jax.jit(t, backend=backend)
-            ca = t.lower(*args).cost_analysis()
-            if isinstance(ca, (list, tuple)):  # one entry per device
-                ca = ca[0]
-            if ca is not None and "flops" in ca:
-                return float(ca["flops"])
-        except Exception:
-            continue
-    return None
+
+    def _flops_of(lowered) -> Optional[float]:
+        ca = lowered.cost_analysis()
+        if isinstance(ca, (list, tuple)):  # one entry per device
+            ca = ca[0]
+        if ca is not None and "flops" in ca:
+            return float(ca["flops"])
+        return None
+
+    try:  # native lowering (works on CPU; None on the remote axon TPU)
+        t = target if hasattr(target, "lower") else jax.jit(target)
+        flops = _flops_of(t.lower(*args))
+        if flops is not None:
+            return flops
+    except Exception:
+        pass
+    from tpu_rvc.nn import attention as _att
+    raw = getattr(target, "__wrapped__", target)
+
+    def _fresh(*a):
+        # fresh function identity: jax's tracing cache is keyed on the
+        # callable, so re-jitting `raw` itself would replay the jaxpr the
+        # first attempt traced — pallas_call(interpret=False) included —
+        # without ever consulting FORCE_XLA_ATTENTION
+        return raw(*a)
+
+    prev = _att.FORCE_XLA_ATTENTION
+    _att.FORCE_XLA_ATTENTION = True
+    try:
+        return _flops_of(jax.jit(_fresh, backend="cpu").lower(*args))
+    except Exception:
+        return None
+    finally:
+        _att.FORCE_XLA_ATTENTION = prev
 
 
 def mfu_fields(flops: Optional[float], seconds: float,
