@@ -553,7 +553,7 @@ def config6(aot_cache=None):
     capacity_serial = 0
     extra = 0.5 if SMOKE else 2.5
     from tpu_rvc.utils.roofline import mfu_fields
-    for N in ((1, 2) if SMOKE else (4, 8, 16, 24)):
+    for N in ((1, 2) if SMOKE else (4, 8, 16, 24, 32, 40, 48, 56)):
         # built pipelined; the serial A/B below toggles the flag on the
         # same instance (same compiled graph — the A/B isolates the
         # fetch share of the tick, the F0_FLOOR-style split)
@@ -685,6 +685,19 @@ def main():
         ("config5_train_throughput", lambda: config5(aot_cache)),
         ("config6_serving_capacity", lambda: config6(aot_cache)),
     ]
+    # --only NAME re-measures one config; every other config's entry is
+    # carried over from the previous artifact verbatim (a partial rerun
+    # must never silently drop the rest of the artifact)
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+        if only not in dict(configs):
+            raise SystemExit(f"unknown config {only!r}")
+        if prev:
+            for name, _ in configs:
+                if name != only and name in prev:
+                    results[name] = prev[name]
+        configs = [(n, f) for n, f in configs if n == only]
     for name, fn in configs:
         t0 = time.time()
         try:
